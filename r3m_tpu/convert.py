@@ -1,0 +1,154 @@
+"""PyTorch checkpoint -> JAX pytree converters.
+
+The reference distributes pretrained weights as pickled torch state dicts
+(``/root/reference/r3m/__init__.py:73`` loads ``torch.load(model.pt)['r3m']``,
+whose keys carry a ``module.`` DataParallel prefix, e.g.
+``module.convnet.layer1.0.conv1.weight``). These converters map that naming
+onto the nested-dict pytrees used by `r3m_tpu.models.*`, handling the layout
+changes (torch conv OIHW -> JAX HWIO, torch linear [out,in] -> [in,out]).
+
+Everything operates on numpy arrays so it runs host-side with no device
+transfers; `torch` is only needed by the caller that unpickles the file
+(see `r3m_tpu.checkpoint.load_torch_checkpoint`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Mapping[str, Any]
+
+
+def _np(t) -> Array:
+    """torch.Tensor | np.ndarray -> float32 numpy array (host)."""
+    if isinstance(t, np.ndarray):
+        return np.asarray(t, dtype=np.float32)
+    # torch tensor without importing torch at module scope
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+
+def strip_prefix(sd: StateDict, prefix: str = "module.") -> Dict[str, Any]:
+    """Remove a key prefix (DataParallel adds ``module.``)."""
+    out = {}
+    for k, v in sd.items():
+        out[k[len(prefix):] if k.startswith(prefix) else k] = v
+    return out
+
+
+def remove_language_head(sd: StateDict) -> Dict[str, Any]:
+    """Drop lang_enc/lang_rew entries (reference r3m/__init__.py:35-42)."""
+    return {
+        k: v for k, v in sd.items() if "lang_enc" not in k and "lang_rew" not in k
+    }
+
+
+def _conv_w(t) -> Array:
+    """OIHW -> HWIO."""
+    return np.transpose(_np(t), (2, 3, 1, 0))
+
+
+def _bn(sd: StateDict, key: str) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    params = {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+    state = {
+        "mean": _np(sd[f"{key}.running_mean"]),
+        "var": _np(sd[f"{key}.running_var"]),
+    }
+    return params, state
+
+
+def convert_resnet(sd: StateDict, size: int, prefix: str = "") -> Tuple[Dict, Dict]:
+    """torchvision-style resnet state dict -> (params, batch_stats) pytrees.
+
+    `prefix` selects a sub-module, e.g. ``convnet.`` for R3M checkpoints.
+    """
+    from r3m_tpu.models.resnet import RESNET_SPECS  # local import, no cycle
+
+    spec = RESNET_SPECS[size]
+    g = lambda k: sd[prefix + k]  # noqa: E731
+
+    params: Dict[str, Any] = {"conv1": {"w": _conv_w(g("conv1.weight"))}}
+    state: Dict[str, Any] = {}
+    sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)} if prefix else dict(sd)
+    params["bn1"], state["bn1"] = _bn(sub, "bn1")
+
+    n_convs = 2 if spec.block == "basic" else 3
+    for stage, num_blocks in enumerate(spec.stage_sizes):
+        layer = f"layer{stage + 1}"
+        blocks_p, blocks_s = [], []
+        for b in range(num_blocks):
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            base = f"{layer}.{b}"
+            for ci in range(1, n_convs + 1):
+                bp[f"conv{ci}"] = {"w": _conv_w(sub[f"{base}.conv{ci}.weight"])}
+                bp[f"bn{ci}"], bs[f"bn{ci}"] = _bn(sub, f"{base}.bn{ci}")
+            if f"{base}.downsample.0.weight" in sub:
+                ds_bn_p, ds_bn_s = _bn(sub, f"{base}.downsample.1")
+                bp["downsample"] = {
+                    "conv": {"w": _conv_w(sub[f"{base}.downsample.0.weight"])},
+                    "bn": ds_bn_p,
+                }
+                bs["downsample"] = {"bn": ds_bn_s}
+            blocks_p.append(bp)
+            blocks_s.append(bs)
+        params[layer] = blocks_p
+        state[layer] = blocks_s
+    return params, state
+
+
+def convert_linear(sd: StateDict, key: str) -> Dict[str, Array]:
+    """torch nn.Linear -> {"w": [in,out], "b": [out]}."""
+    out = {"w": np.transpose(_np(sd[f"{key}.weight"]))}
+    if f"{key}.bias" in sd:
+        out["b"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def convert_language_reward(sd: StateDict, prefix: str = "lang_rew.") -> Dict:
+    """LanguageReward 5-layer MLP (reference models_language.py:43-51).
+
+    torch Sequential indices 0,2,4,6,8 are the Linear layers.
+    """
+    layers = []
+    for idx in (0, 2, 4, 6, 8):
+        layers.append(convert_linear(sd, f"{prefix}pred.{idx}"))
+    return {"layers": layers}
+
+
+def detect_resnet_size(sd: StateDict, prefix: str = "") -> int:
+    """Infer 18/34/50 from state-dict structure."""
+    keys = set(sd.keys())
+    if f"{prefix}layer1.0.conv3.weight" in keys:
+        return 50
+    # basic blocks: count blocks in layer3 — resnet18 has 2, resnet34 has 6
+    n = len({m.group(1) for k in keys for m in [re.match(re.escape(prefix) + r"layer3\.(\d+)\.", k)] if m})
+    return 34 if n == 6 else 18
+
+
+def convert_r3m_torch_state(
+    sd: StateDict, size: int | None = None, include_language: bool = False
+) -> Dict[str, Any]:
+    """Full R3M snapshot state dict -> pytree bundle.
+
+    Accepts the raw `payload['r3m']` mapping from a reference snapshot
+    (with or without ``module.`` prefixes). Returns::
+
+        {"convnet": {"params": ..., "batch_stats": ...},
+         "lang_rew": {...} | None, "size": int}
+    """
+    sd = strip_prefix(dict(sd))
+    if size is None:
+        size = detect_resnet_size(sd, prefix="convnet.")
+    params, state = convert_resnet(sd, size, prefix="convnet.")
+    bundle: Dict[str, Any] = {
+        "convnet": {"params": params, "batch_stats": state},
+        "size": size,
+        "lang_rew": None,
+    }
+    if include_language and "lang_rew.pred.0.weight" in sd:
+        bundle["lang_rew"] = convert_language_reward(sd)
+    return bundle

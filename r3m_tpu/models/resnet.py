@@ -1,0 +1,293 @@
+"""TPU-native functional ResNet-18/34/50 visual encoders.
+
+Reproduces the capability of the reference's torchvision backbones
+(``/root/reference/r3m/models/models_r3m.py:44-52``: resnet18/34 -> 512-d,
+resnet50 -> 2048-d, ``fc`` replaced by Identity so the output is the
+global-average-pooled feature) as a pure-functional JAX model:
+
+* params / batch-norm state are plain nested-dict pytrees (shardable,
+  checkpointable, `jax.grad`-able with no framework magic),
+* NHWC layout end to end — the TPU-preferred convolution layout, so XLA
+  tiles every conv onto the MXU without layout transposes,
+* optional bfloat16 compute (params stay f32; matmul/conv accumulate f32),
+* BatchNorm semantics match torch: eps=1e-5, momentum=0.1, biased variance
+  for normalization, unbiased variance for the running-stat update.
+
+Param-tree naming intentionally mirrors torchvision state_dict naming
+(`conv1`, `bn1`, `layer{1..4}.{i}.conv{j}`, `downsample`) so the
+PyTorch-checkpoint converter (`r3m_tpu/convert.py`) is a mechanical rename.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Pytree = Any
+
+# ---------------------------------------------------------------------------
+# Architecture specs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetSpec:
+    """Static architecture description (hashable -> safe to close over in jit)."""
+
+    name: str
+    block: str  # "basic" | "bottleneck"
+    stage_sizes: Tuple[int, int, int, int]
+    width: int = 64
+    expansion: int = 1
+
+    @property
+    def out_dim(self) -> int:
+        return self.width * 8 * self.expansion
+
+
+RESNET_SPECS: Dict[int, ResNetSpec] = {
+    18: ResNetSpec("resnet18", "basic", (2, 2, 2, 2), expansion=1),
+    34: ResNetSpec("resnet34", "basic", (3, 4, 6, 3), expansion=1),
+    50: ResNetSpec("resnet50", "bottleneck", (3, 4, 6, 3), expansion=4),
+}
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers (functional)
+# ---------------------------------------------------------------------------
+
+
+def conv_init(key, kh, kw, cin, cout, dtype=jnp.float32):
+    """He/Kaiming-normal fan-out init, matching torchvision's conv init."""
+    fan_out = kh * kw * cout
+    std = np.sqrt(2.0 / fan_out)
+    return {"w": jax.random.normal(key, (kh, kw, cin, cout), dtype) * std}
+
+
+def bn_init(c, dtype=jnp.float32):
+    params = {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+    state = {"mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+    return params, state
+
+
+def conv2d(x, w, stride=1, padding=1, precision=None):
+    """NHWC conv with HWIO weights; accumulates in f32 on the MXU.
+
+    `precision=None` uses the backend default (bf16 inputs on TPU — fast
+    path for training); pass `jax.lax.Precision.HIGHEST` for f32-faithful
+    parity (e.g. checkpoint-parity inference).
+    """
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def batch_norm(x, params, state, *, train: bool, momentum=0.1, eps=1e-5):
+    """Torch-semantics BatchNorm over NHWC (normalize over N,H,W).
+
+    Returns (y, new_state). In train mode, normalization uses the biased
+    batch variance while the running-var update uses the unbiased estimate
+    (torch.nn.BatchNorm2d behavior).
+    """
+    scale = params["scale"].astype(jnp.float32)
+    bias = params["bias"].astype(jnp.float32)
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean = state["mean"].astype(jnp.float32)
+        var = state["var"].astype(jnp.float32)
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps) * scale
+    y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+    return y.astype(x.dtype), new_state
+
+
+def max_pool_3x3s2(x):
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) over NHWC."""
+    neg_inf = (
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    )
+    return jax.lax.reduce_window(
+        x,
+        neg_inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _basic_block_init(key, cin, planes, stride, dtype):
+    keys = jax.random.split(key, 3)
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["conv1"] = conv_init(keys[0], 3, 3, cin, planes, dtype)
+    p["bn1"], s["bn1"] = bn_init(planes, dtype)
+    p["conv2"] = conv_init(keys[1], 3, 3, planes, planes, dtype)
+    p["bn2"], s["bn2"] = bn_init(planes, dtype)
+    if stride != 1 or cin != planes:
+        p["downsample"] = {"conv": conv_init(keys[2], 1, 1, cin, planes, dtype)}
+        bn_p, bn_s = bn_init(planes, dtype)
+        p["downsample"]["bn"] = bn_p
+        s["downsample"] = {"bn": bn_s}
+    return p, s
+
+
+def _basic_block_apply(x, p, s, stride, *, train, precision=None):
+    ns: Dict[str, Any] = {}
+    y = conv2d(x, p["conv1"]["w"], stride=stride, padding=1, precision=precision)
+    y, ns["bn1"] = batch_norm(y, p["bn1"], s["bn1"], train=train)
+    y = jax.nn.relu(y)
+    y = conv2d(y, p["conv2"]["w"], stride=1, padding=1, precision=precision)
+    y, ns["bn2"] = batch_norm(y, p["bn2"], s["bn2"], train=train)
+    if "downsample" in p:
+        sc = conv2d(x, p["downsample"]["conv"]["w"], stride=stride, padding=0, precision=precision)
+        sc, ds_bn = batch_norm(sc, p["downsample"]["bn"], s["downsample"]["bn"], train=train)
+        ns["downsample"] = {"bn": ds_bn}
+    else:
+        sc = x
+    return jax.nn.relu(y + sc), ns
+
+
+def _bottleneck_init(key, cin, planes, stride, expansion, dtype):
+    keys = jax.random.split(key, 4)
+    cout = planes * expansion
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["conv1"] = conv_init(keys[0], 1, 1, cin, planes, dtype)
+    p["bn1"], s["bn1"] = bn_init(planes, dtype)
+    p["conv2"] = conv_init(keys[1], 3, 3, planes, planes, dtype)
+    p["bn2"], s["bn2"] = bn_init(planes, dtype)
+    p["conv3"] = conv_init(keys[2], 1, 1, planes, cout, dtype)
+    p["bn3"], s["bn3"] = bn_init(cout, dtype)
+    if stride != 1 or cin != cout:
+        p["downsample"] = {"conv": conv_init(keys[3], 1, 1, cin, cout, dtype)}
+        bn_p, bn_s = bn_init(cout, dtype)
+        p["downsample"]["bn"] = bn_p
+        s["downsample"] = {"bn": bn_s}
+    return p, s
+
+
+def _bottleneck_apply(x, p, s, stride, *, train, precision=None):
+    # torchvision ordering: 1x1 (stride 1) -> 3x3 (stride s) -> 1x1.
+    ns: Dict[str, Any] = {}
+    y = conv2d(x, p["conv1"]["w"], stride=1, padding=0, precision=precision)
+    y, ns["bn1"] = batch_norm(y, p["bn1"], s["bn1"], train=train)
+    y = jax.nn.relu(y)
+    y = conv2d(y, p["conv2"]["w"], stride=stride, padding=1, precision=precision)
+    y, ns["bn2"] = batch_norm(y, p["bn2"], s["bn2"], train=train)
+    y = jax.nn.relu(y)
+    y = conv2d(y, p["conv3"]["w"], stride=1, padding=0, precision=precision)
+    y, ns["bn3"] = batch_norm(y, p["bn3"], s["bn3"], train=train)
+    if "downsample" in p:
+        sc = conv2d(x, p["downsample"]["conv"]["w"], stride=stride, padding=0, precision=precision)
+        sc, ds_bn = batch_norm(sc, p["downsample"]["bn"], s["downsample"]["bn"], train=train)
+        ns["downsample"] = {"bn": ds_bn}
+    else:
+        sc = x
+    return jax.nn.relu(y + sc), ns
+
+
+# ---------------------------------------------------------------------------
+# Full network
+# ---------------------------------------------------------------------------
+
+
+def resnet_init(key, size: int, dtype=jnp.float32) -> Tuple[Pytree, Pytree]:
+    """Initialize a ResNet; returns (params, batch_stats) pytrees."""
+    spec = RESNET_SPECS[size]
+    key, k0 = jax.random.split(key)
+    params: Dict[str, Any] = {"conv1": conv_init(k0, 7, 7, 3, spec.width, dtype)}
+    state: Dict[str, Any] = {}
+    params["bn1"], state["bn1"] = bn_init(spec.width, dtype)
+
+    cin = spec.width
+    for stage, num_blocks in enumerate(spec.stage_sizes):
+        planes = spec.width * (2**stage)
+        blocks_p, blocks_s = [], []
+        for b in range(num_blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            key, bk = jax.random.split(key)
+            if spec.block == "basic":
+                bp, bs = _basic_block_init(bk, cin, planes, stride, dtype)
+                cin = planes
+            else:
+                bp, bs = _bottleneck_init(bk, cin, planes, stride, spec.expansion, dtype)
+                cin = planes * spec.expansion
+            blocks_p.append(bp)
+            blocks_s.append(bs)
+        params[f"layer{stage + 1}"] = blocks_p
+        state[f"layer{stage + 1}"] = blocks_s
+    return params, state
+
+
+def resnet_apply(
+    params: Pytree,
+    state: Pytree,
+    x: jax.Array,
+    *,
+    size: int,
+    train: bool = False,
+    compute_dtype=None,
+    precision=None,
+) -> Tuple[jax.Array, Pytree]:
+    """Forward pass. `x` is NHWC, already normalized. Returns (features, new_state).
+
+    Features are the global-average-pooled embedding ([B, out_dim]) — the
+    reference's `fc = Identity()` semantics (models_r3m.py:62).
+    """
+    spec = RESNET_SPECS[size]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+
+    y = conv2d(x, params["conv1"]["w"], stride=2, padding=3, precision=precision)
+    new_state: Dict[str, Any] = {}
+    y, new_state["bn1"] = batch_norm(y, params["bn1"], state["bn1"], train=train)
+    y = jax.nn.relu(y)
+    y = max_pool_3x3s2(y)
+
+    apply_block = _basic_block_apply if spec.block == "basic" else _bottleneck_apply
+    for stage, num_blocks in enumerate(spec.stage_sizes):
+        name = f"layer{stage + 1}"
+        stage_states = []
+        for b in range(num_blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            y, bs = apply_block(
+                y, params[name][b], state[name][b], stride, train=train, precision=precision
+            )
+            stage_states.append(bs)
+        new_state[name] = stage_states
+
+    # Adaptive average pool to 1x1 + flatten == mean over spatial dims.
+    feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+    return feats, new_state
+
+
+def resnet_out_dim(size: int) -> int:
+    return RESNET_SPECS[size].out_dim

@@ -1,0 +1,31 @@
+"""Test configuration: force an 8-virtual-device CPU mesh.
+
+Multi-chip sharding tests run on host-platform virtual devices
+(`--xla_force_host_platform_device_count=8`), the JAX-native way to test an
+N-device mesh without hardware.
+
+Note: this environment registers a TPU backend from sitecustomize at
+interpreter start (so env-var JAX_PLATFORMS is already consumed); forcing
+CPU therefore goes through `jax.config.update`, which still wins because
+backends initialize lazily.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

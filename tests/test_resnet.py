@@ -1,0 +1,115 @@
+"""ResNet numerics parity vs a PyTorch oracle (torchvision-compatible)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from r3m_tpu.convert import convert_resnet, detect_resnet_size, strip_prefix
+from r3m_tpu.models.resnet import (
+    batch_norm,
+    bn_init,
+    max_pool_3x3s2,
+    resnet_apply,
+    resnet_init,
+    resnet_out_dim,
+)
+from tests.torch_ref import torch_resnet
+
+
+def _to_jax_nhwc(x_nchw: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+
+
+@pytest.mark.parametrize("size", [18, 34, 50])
+def test_eval_parity_vs_torch(size, rng):
+    tm = torch_resnet(size).eval()
+    # randomize running stats so eval-mode BN is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    params, state = convert_resnet(tm.state_dict(), size)
+
+    x = rng.standard_normal((2, 3, 64, 64), dtype=np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    out, _ = resnet_apply(params, state, _to_jax_nhwc(x), size=size, train=False)
+    out = np.asarray(out)
+
+    assert out.shape == (2, resnet_out_dim(size))
+    cos = np.sum(ref * out, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1)
+    )
+    assert np.all(cos > 0.9999), cos
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_train_mode_bn_parity(rng):
+    """Train-mode BN: batch-stat normalization + running-stat updates match torch."""
+    tm = torch.nn.BatchNorm2d(8)
+    with torch.no_grad():
+        tm.weight.uniform_(0.5, 1.5)
+        tm.bias.uniform_(-0.5, 0.5)
+    tm.train()
+
+    x = rng.standard_normal((4, 8, 6, 6), dtype=np.float32)
+    ref = tm(torch.from_numpy(x)).detach().numpy()
+
+    params = {"scale": jnp.asarray(tm.weight.detach().numpy()),
+              "bias": jnp.asarray(tm.bias.detach().numpy())}
+    _, state = bn_init(8)
+    y, new_state = batch_norm(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), params, state, train=True
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y), (0, 3, 1, 2)), ref, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state["mean"]), tm.running_mean.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state["var"]), tm.running_var.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_max_pool_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 13, 13), dtype=np.float32)
+    ref = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x), 3, stride=2, padding=1
+    ).numpy()
+    out = max_pool_3x3s2(jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, rtol=1e-6, atol=1e-6
+    )
+
+
+def test_converter_handles_module_prefix():
+    tm = torch_resnet(18)
+    sd = {f"module.convnet.{k}": v for k, v in tm.state_dict().items()}
+    sd = strip_prefix(sd)
+    assert detect_resnet_size(sd, prefix="convnet.") == 18
+    params, state = convert_resnet(sd, 18, prefix="convnet.")
+    assert params["conv1"]["w"].shape == (7, 7, 3, 64)
+    assert state["bn1"]["mean"].shape == (64,)
+
+
+def test_init_shapes_and_grad():
+    params, state = resnet_init(jax.random.PRNGKey(0), 18)
+
+    def loss_fn(p):
+        out, _ = resnet_apply(
+            p, state, jnp.ones((1, 32, 32, 3)), size=18, train=False
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0
+    )
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
