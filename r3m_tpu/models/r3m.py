@@ -1,0 +1,213 @@
+"""R3M model: visual encoder + similarity + language-reward container.
+
+Functional JAX counterpart of the reference's ``R3M(nn.Module)``
+(``/root/reference/r3m/models/models_r3m.py:21-107``): a ResNet-18/34/50
+(or ViT-B/32 for ``size == 0``) backbone whose output is the pooled
+embedding, ImageNet (or 0.5/0.5 for ViT) normalization of [0,255] inputs,
+a −L2 / cosine similarity (`sim`, models_r3m.py:102-107), and — when
+``langweight > 0`` — the language-reward MLP head. Loss weights live in
+the config; parameters/batch-stats are pytrees.
+
+`R3MEncoder` at the bottom is the user-facing callable returned by
+`r3m_tpu.load_r3m`: it accepts NCHW uint8-range arrays like the reference
+model and returns embeddings, with the whole preprocess+forward jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r3m_tpu.models.language_reward import (
+    language_reward_apply,
+    language_reward_init,
+)
+from r3m_tpu.models.resnet import resnet_apply, resnet_init, resnet_out_dim
+from r3m_tpu.ops.image import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    VIT_MEAN,
+    VIT_STD,
+    nchw_to_nhwc,
+    r3m_preprocess,
+)
+
+Pytree = Any
+
+LANG_DIM = 768  # DistilBERT hidden size (models_language.py:21)
+
+
+@dataclasses.dataclass(frozen=True)
+class R3MConfig:
+    """Static model/loss configuration (hashable; safe to close over in jit).
+
+    Field names and defaults mirror the reference's constructor arguments
+    and `cfgs/config_rep.yaml` agent block.
+    """
+
+    size: int = 34  # 18 | 34 | 50 | 0 (ViT-B/32)
+    hidden_dim: int = 1024
+    l2weight: float = 1e-5
+    l1weight: float = 1e-5
+    langweight: float = 0.0
+    tcnweight: float = 1.0
+    l2dist: bool = True
+    num_negatives: int = 3
+    lr: float = 1e-4
+    bs: int = 32
+    compute_dtype: str = "float32"  # "bfloat16" for max-throughput training
+
+    @property
+    def out_dim(self) -> int:
+        if self.size == 0:
+            return 768  # ViT-B/32
+        return resnet_out_dim(self.size)
+
+    @property
+    def norm_stats(self) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+        if self.size == 0:
+            return VIT_MEAN, VIT_STD
+        return IMAGENET_MEAN, IMAGENET_STD
+
+    @property
+    def jnp_compute_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def r3m_init(key: jax.Array, cfg: R3MConfig) -> Dict[str, Pytree]:
+    """Initialize all trainable state: {"params": ..., "batch_stats": ...}."""
+    k_enc, k_rew = jax.random.split(key)
+    if cfg.size == 0:
+        from r3m_tpu.models.vit import vit_b32_init
+
+        enc_params = vit_b32_init(k_enc)
+        batch_stats: Pytree = {}
+    else:
+        enc_params, batch_stats = resnet_init(k_enc, cfg.size)
+    params: Dict[str, Pytree] = {"convnet": enc_params}
+    if cfg.langweight > 0.0:
+        params["lang_rew"] = language_reward_init(
+            k_rew, cfg.out_dim, cfg.hidden_dim, LANG_DIM
+        )
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def r3m_embed(
+    cfg: R3MConfig,
+    params: Pytree,
+    batch_stats: Pytree,
+    obs: jax.Array,
+    *,
+    train: bool = False,
+    precision=None,
+) -> Tuple[jax.Array, Pytree]:
+    """Images -> embeddings (reference `forward`, models_r3m.py:84-100).
+
+    `obs`: NHWC float/int in [0, 255]. Applies the shape-dependent
+    preprocess, runs the backbone, returns ([B, out_dim] f32, new stats).
+    """
+    mean, std = cfg.norm_stats
+    x = r3m_preprocess(obs, mean, std)
+    if cfg.size == 0:
+        from r3m_tpu.models.vit import vit_b32_apply
+
+        feats = vit_b32_apply(params["convnet"], x, precision=precision)
+        return feats, batch_stats
+    feats, new_stats = resnet_apply(
+        params["convnet"],
+        batch_stats,
+        x,
+        size=cfg.size,
+        train=train,
+        compute_dtype=cfg.jnp_compute_dtype,
+        precision=precision,
+    )
+    return feats, new_stats
+
+
+def safe_l2_norm(x: jax.Array, axis: int = -1) -> jax.Array:
+    """L2 norm with exact forward and a zero subgradient at x == 0.
+
+    Plain `jnp.linalg.norm` has NaN gradient at 0 (0/0); torch defines the
+    subgradient there as 0, which the reference relies on — its shuffled
+    negatives `sim(es0, es0[randperm])` hit exact-zero differences whenever
+    the permutation has a fixed point (trainer.py:135-139).
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    is_zero = sq == 0
+    return jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
+
+
+def sim(cfg: R3MConfig, a: jax.Array, b: jax.Array) -> jax.Array:
+    """−L2 distance or cosine similarity over the last axis (models_r3m.py:102-107)."""
+    if cfg.l2dist:
+        return -safe_l2_norm(a - b, axis=-1)
+    an = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    bn = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+    return jnp.sum(an * bn, axis=-1)
+
+
+def get_reward(
+    cfg: R3MConfig,
+    params: Pytree,
+    e0: jax.Array,
+    es: jax.Array,
+    lang_emb: jax.Array,
+) -> jax.Array:
+    """Score (start, later, sentence-embedding) triples (models_r3m.py:78-81).
+
+    Unlike the reference, the sentence embedding is precomputed once per
+    batch (the frozen DistilBERT pass) instead of re-encoded per call.
+    """
+    return language_reward_apply(params["lang_rew"], e0, es, lang_emb)
+
+
+class R3MEncoder:
+    """User-facing inference module returned by `load_r3m`.
+
+    Mimics the reference's DataParallel-wrapped module call signature:
+    input NCHW (torch layout) float/uint8 in [0, 255], any spatial size
+    (non-224 inputs get Resize(256)+CenterCrop(224)); output [B, out_dim]
+    embeddings. Forward is jitted per input shape.
+    """
+
+    def __init__(self, cfg: R3MConfig, params: Pytree, batch_stats: Pytree):
+        self.cfg = cfg
+        self.params = params
+        self.batch_stats = batch_stats
+        self.module = self  # DataParallel-compat alias (ref accesses .module)
+
+        @jax.jit
+        def _fwd(params, batch_stats, obs_nchw):
+            obs = nchw_to_nhwc(obs_nchw)
+            emb, _ = r3m_embed(
+                cfg,
+                params,
+                batch_stats,
+                obs,
+                train=False,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return emb
+
+        self._fwd = _fwd
+
+    @property
+    def outdim(self) -> int:
+        return self.cfg.out_dim
+
+    def __call__(self, obs) -> jax.Array:
+        obs = jnp.asarray(np.asarray(obs))
+        if obs.ndim == 3:
+            obs = obs[None]
+        return self._fwd(self.params, self.batch_stats, obs)
+
+    def eval(self):  # torch-API compat no-ops
+        return self
+
+    def to(self, *_args, **_kw):
+        return self
