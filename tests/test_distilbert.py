@@ -1,0 +1,80 @@
+"""DistilBERT-JAX parity vs HuggingFace torch DistilBertModel (random init).
+
+The environment is offline (no pretrained downloads), so parity is checked
+against a from-config randomly initialized HF model — which exercises the
+identical architecture + numerics paths the pretrained weights would.
+"""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from r3m_tpu.models.distilbert import (
+    DistilBertConfig,
+    convert_distilbert,
+    distilbert_apply,
+    sentence_embedding,
+)
+
+SMALL = DistilBertConfig(
+    vocab_size=200, dim=32, n_layers=2, n_heads=4, hidden_dim=64,
+    max_position_embeddings=48,
+)
+
+
+def _hf_model(cfg):
+    from transformers import DistilBertConfig as HFConfig, DistilBertModel
+
+    hf_cfg = HFConfig(
+        vocab_size=cfg.vocab_size,
+        dim=cfg.dim,
+        n_layers=cfg.n_layers,
+        n_heads=cfg.n_heads,
+        hidden_dim=cfg.hidden_dim,
+        max_position_embeddings=cfg.max_position_embeddings,
+        dropout=0.0,
+        attention_dropout=0.0,
+    )
+    return DistilBertModel(hf_cfg).eval()
+
+
+def test_last_hidden_state_parity(rng):
+    tm = _hf_model(SMALL)
+    params = convert_distilbert(tm.state_dict(), SMALL)
+
+    ids = rng.integers(0, SMALL.vocab_size, size=(3, 12))
+    mask = np.ones((3, 12), dtype=np.int64)
+    mask[0, 8:] = 0  # padded row
+    mask[2, 5:] = 0
+
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+
+    ours = distilbert_apply(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32), SMALL
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sentence_embedding_includes_padding(rng):
+    """Reference pools mean over ALL tokens (models_language.py:34)."""
+    tm = _hf_model(SMALL)
+    params = convert_distilbert(tm.state_dict(), SMALL)
+
+    ids = rng.integers(0, SMALL.vocab_size, size=(2, 10))
+    mask = np.ones((2, 10), dtype=np.int64)
+    mask[1, 4:] = 0
+
+    with torch.no_grad():
+        ref = (
+            tm(torch.from_numpy(ids), attention_mask=torch.from_numpy(mask))
+            .last_hidden_state.mean(1)
+            .numpy()
+        )
+    ours = sentence_embedding(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32), SMALL
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
