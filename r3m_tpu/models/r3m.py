@@ -60,6 +60,7 @@ class R3MConfig:
     lr: float = 1e-4
     bs: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for max-throughput training
+    image_size: int = 224  # training/eval crop size (224 in the reference)
 
     @property
     def out_dim(self) -> int:
@@ -111,7 +112,13 @@ def r3m_embed(
     preprocess, runs the backbone, returns ([B, out_dim] f32, new stats).
     """
     mean, std = cfg.norm_stats
-    x = r3m_preprocess(obs, mean, std)
+    x = r3m_preprocess(
+        obs,
+        mean,
+        std,
+        crop_size=cfg.image_size,
+        resize_to=max(1, round(cfg.image_size * 256 / 224)),
+    )
     if cfg.size == 0:
         from r3m_tpu.models.vit import vit_b32_apply
 
