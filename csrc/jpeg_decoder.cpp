@@ -1,0 +1,256 @@
+// Native batched JPEG decode stage for the Ego4D frame pipeline.
+//
+// TPU-native replacement for the reference's per-frame
+// torchvision.io.read_image calls inside torch DataLoader worker
+// processes (/root/reference/r3m/utils/data_loaders.py:30-34). Instead of
+// N forked Python workers, a persistent C++ thread pool decodes a whole
+// [N] batch of JPEG files directly into one preallocated uint8
+// [N, H, W, 3] host buffer (the staging buffer for the device transfer),
+// with an optional box-filter resize when a frame's native size differs
+// from the target (the reference assumes pre-resized 224x224 frames).
+//
+// C ABI (used via ctypes from r3m_tpu/data/decoder.py):
+//   r3m_decoder_create(n_threads) -> handle
+//   r3m_decoder_destroy(handle)
+//   r3m_decode_batch(handle, paths, n, out, H, W) -> n_failed
+//     paths: array of n C strings; out: n*H*W*3 uint8 buffer.
+//     Failed/missing frames are zero-filled (sample-level robustness is
+//     the Python caller's policy).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Box-filter resize (separable average) — only used when a source frame is
+// not already HxW. Nearest-area quality is fine here: the training path
+// follows with RandomResizedCrop on device.
+void resize_box(const std::vector<uint8_t>& src, int sh, int sw, uint8_t* dst,
+                int dh, int dw) {
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    for (int x = 0; x < dw; ++x) {
+      float x0 = static_cast<float>(x) * sw / dw;
+      float x1 = static_cast<float>(x + 1) * sw / dw;
+      int ix0 = static_cast<int>(x0);
+      int ix1 = std::min(static_cast<int>(x1) + 1, sw);
+      float acc[3] = {0, 0, 0};
+      float wsum = 0;
+      for (int ix = ix0; ix < ix1; ++ix) {
+        float l = std::max(x0, static_cast<float>(ix));
+        float r = std::min(x1, static_cast<float>(ix + 1));
+        float w = r - l;
+        if (w <= 0) continue;
+        for (int c = 0; c < 3; ++c)
+          acc[c] += w * src[(static_cast<size_t>(y) * sw + ix) * 3 + c];
+        wsum += w;
+      }
+      for (int c = 0; c < 3; ++c)
+        tmp[(static_cast<size_t>(y) * dw + x) * 3 + c] = acc[c] / wsum;
+    }
+  }
+  for (int y = 0; y < dh; ++y) {
+    float y0 = static_cast<float>(y) * sh / dh;
+    float y1 = static_cast<float>(y + 1) * sh / dh;
+    int iy0 = static_cast<int>(y0);
+    int iy1 = std::min(static_cast<int>(y1) + 1, sh);
+    for (int x = 0; x < dw; ++x) {
+      float acc[3] = {0, 0, 0};
+      float wsum = 0;
+      for (int iy = iy0; iy < iy1; ++iy) {
+        float t = std::max(y0, static_cast<float>(iy));
+        float b = std::min(y1, static_cast<float>(iy + 1));
+        float w = b - t;
+        if (w <= 0) continue;
+        for (int c = 0; c < 3; ++c)
+          acc[c] += w * tmp[(static_cast<size_t>(iy) * dw + x) * 3 + c];
+        wsum += w;
+      }
+      for (int c = 0; c < 3; ++c)
+        dst[(static_cast<size_t>(y) * dw + x) * 3 + c] =
+            static_cast<uint8_t>(acc[c] / wsum + 0.5f);
+    }
+  }
+}
+
+// Decode one JPEG file to RGB into dst (H*W*3). Returns true on success.
+bool decode_file(const char* path, uint8_t* dst, int H, int W) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+
+  // DCT-domain downscale: pick the largest M/8 <= target/native ratio so the
+  // IDCT itself produces close-to-target resolution (big decode speedup for
+  // oversized frames).
+  if (static_cast<int>(cinfo.image_width) > W &&
+      static_cast<int>(cinfo.image_height) > H) {
+    int num = 8;
+    while (num > 1 && cinfo.image_width * (num - 1) / 8 >= (unsigned)W &&
+           cinfo.image_height * (num - 1) / 8 >= (unsigned)H)
+      --num;
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
+
+  jpeg_start_decompress(&cinfo);
+  const int sw = cinfo.output_width;
+  const int sh = cinfo.output_height;
+  const int comps = cinfo.output_components;
+
+  bool direct = (sw == W && sh == H && comps == 3);
+  std::vector<uint8_t> buf;
+  if (!direct) buf.resize(static_cast<size_t>(sw) * sh * 3);
+
+  std::vector<uint8_t> row(static_cast<size_t>(sw) * comps);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y = cinfo.output_scanline;
+    uint8_t* target =
+        direct ? dst + static_cast<size_t>(y) * W * 3
+               : buf.data() + static_cast<size_t>(y) * sw * 3;
+    if (comps == 3) {
+      JSAMPROW rowptr = target;
+      jpeg_read_scanlines(&cinfo, &rowptr, 1);
+    } else {  // grayscale -> replicate channels
+      JSAMPROW rowptr = row.data();
+      jpeg_read_scanlines(&cinfo, &rowptr, 1);
+      for (int x = 0; x < sw; ++x) {
+        target[x * 3 + 0] = row[x];
+        target[x * 3 + 1] = row[x];
+        target[x * 3 + 2] = row[x];
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+
+  if (!direct) resize_box(buf, sh, sw, dst, H, W);
+  return true;
+}
+
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) : stop_(false) {
+    for (int i = 0; i < n; ++i)
+      workers_.emplace_back([this] { worker(); });
+  }
+  ~ThreadPool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+  void submit(std::function<void()> job) {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      jobs_.push(std::move(job));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void worker() {
+    for (;;) {
+      std::function<void()> job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !jobs_.empty(); });
+        if (stop_ && jobs_.empty()) return;
+        job = std::move(jobs_.front());
+        jobs_.pop();
+      }
+      job();
+    }
+  }
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> jobs_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_;
+};
+
+struct Decoder {
+  explicit Decoder(int n_threads) : pool(n_threads) {}
+  ThreadPool pool;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* r3m_decoder_create(int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  return new Decoder(n_threads);
+}
+
+void r3m_decoder_destroy(void* handle) { delete static_cast<Decoder*>(handle); }
+
+// Decode n JPEGs into out (n*H*W*3, uint8). Returns number of failures.
+int r3m_decode_batch(void* handle, const char** paths, int n, uint8_t* out,
+                     int H, int W) {
+  Decoder* d = static_cast<Decoder*>(handle);
+  std::atomic<int> failed{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+
+  const size_t frame = static_cast<size_t>(H) * W * 3;
+  for (int i = 0; i < n; ++i) {
+    d->pool.submit([&, i] {
+      uint8_t* dst = out + frame * i;
+      if (!decode_file(paths[i], dst, H, W)) {
+        std::memset(dst, 0, frame);
+        failed.fetch_add(1);
+      }
+      if (done.fetch_add(1) + 1 == n) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return failed.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,147 @@
+"""Device-side RandomResizedCrop augmentation (rc / rctraj modes).
+
+TPU-native replacement for the reference's host-side torchvision
+``RandomResizedCrop(224, scale=(0.2, 1.0))``
+(``/root/reference/r3m/utils/data_loaders.py:47-52,81-102``): the crop
+parameter law is torchvision's `get_params` (10 rejection-sampling
+attempts over area scale U(0.2,1.0) and log-uniform aspect ratio 3/4..4/3,
+then a ratio-clamped center-crop fallback), and the crop+resize runs as a
+traced `jax.image.scale_and_translate` — a fixed-shape bilinear gather XLA
+fuses with the normalization into the encoder's input stage, instead of
+per-sample PIL work in DataLoader processes.
+
+Modes (data_loaders.py:81-102):
+  * ``rctraj`` — ONE crop drawn per clip, applied identically to all 5
+    frames (trajectory-consistent);
+  * ``rc`` — an independent crop per frame;
+  * ``none`` — identity.
+
+Because the crop rectangle is data-independent, sampling params and the
+resize are fully vectorized: `vmap` over clips (and frames for ``rc``)
+with a per-sample PRNG key. No antialias, matching torch 1.7.1 tensor-mode
+interpolation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ATTEMPTS = 10  # torchvision RandomResizedCrop.get_params
+LOG_RATIO = (float(np.log(3.0 / 4.0)), float(np.log(4.0 / 3.0)))
+
+
+def sample_crop_params(
+    key: jax.Array,
+    height: int,
+    width: int,
+    scale: Tuple[float, float] = (0.2, 1.0),
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Draw (i, j, h, w) via torchvision's law. All outputs are f32 scalars.
+
+    Vectorized rejection sampling: draw all 10 attempts at once, take the
+    first valid one (argmax of the validity mask), else the center-crop
+    fallback with aspect-ratio clamping.
+    """
+    area = float(height * width)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    target_area = area * jax.random.uniform(
+        k1, (ATTEMPTS,), minval=scale[0], maxval=scale[1]
+    )
+    aspect = jnp.exp(
+        jax.random.uniform(k2, (ATTEMPTS,), minval=LOG_RATIO[0], maxval=LOG_RATIO[1])
+    )
+    w = jnp.round(jnp.sqrt(target_area * aspect))
+    h = jnp.round(jnp.sqrt(target_area / aspect))
+    valid = (w > 0) & (w <= width) & (h > 0) & (h <= height)
+    idx = jnp.argmax(valid)  # first True (argmax returns first max)
+    any_valid = jnp.any(valid)
+    h_sel, w_sel = h[idx], w[idx]
+    # uniform integer offsets in [0, H-h] / [0, W-w]
+    u_i = jax.random.uniform(k3, ())
+    u_j = jax.random.uniform(k4, ())
+    i_sel = jnp.floor(u_i * (height - h_sel + 1))
+    j_sel = jnp.floor(u_j * (width - w_sel + 1))
+
+    # fallback: clamp aspect, center crop (torchvision get_params fallback)
+    in_ratio = width / height
+    min_r, max_r = np.exp(LOG_RATIO[0]), np.exp(LOG_RATIO[1])
+    if in_ratio < min_r:
+        fw, fh = float(width), float(round(width / min_r))
+    elif in_ratio > max_r:
+        fh, fw = float(height), float(round(height * max_r))
+    else:
+        fw, fh = float(width), float(height)
+    fi, fj = float((height - fh) // 2), float((width - fw) // 2)
+
+    i = jnp.where(any_valid, i_sel, fi)
+    j = jnp.where(any_valid, j_sel, fj)
+    hh = jnp.where(any_valid, h_sel, fh)
+    ww = jnp.where(any_valid, w_sel, fw)
+    return i, j, hh, ww
+
+
+def resized_crop(
+    img: jax.Array, i: jax.Array, j: jax.Array, h: jax.Array, w: jax.Array,
+    out_size: int,
+) -> jax.Array:
+    """Crop [i:i+h, j:j+w] and bilinear-resize to (out_size, out_size).
+
+    Implemented as one `scale_and_translate` (half-pixel-center sampling,
+    align_corners=False, no antialias): output pixel o samples input at
+    (o + 0.5) * h/out - 0.5 + i, identical to torch F.interpolate over the
+    crop. Traced crop params => no dynamic shapes.
+    """
+    sy = out_size / h
+    sx = out_size / w
+    return jax.image.scale_and_translate(
+        img.astype(jnp.float32),
+        (out_size, out_size, img.shape[-1]),
+        (0, 1),
+        jnp.stack([sy, sx]),
+        jnp.stack([-i * sy, -j * sx]),
+        method="bilinear",
+        antialias=False,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "mode", "scale"))
+def random_resized_crop_clips(
+    key: jax.Array,
+    clips: jax.Array,
+    out_size: int = 224,
+    mode: str = "rctraj",
+    scale: Tuple[float, float] = (0.2, 1.0),
+) -> jax.Array:
+    """Augment [B, F, H, W, C] clip tuples -> [B, F, out, out, C] float32.
+
+    ``rctraj``: one crop per clip shared by its F frames. ``rc``: one crop
+    per frame. ``none``: identity resize-free passthrough (requires
+    H == W == out_size).
+    """
+    b, f, hgt, wid, c = clips.shape
+    if mode not in ("rc", "rctraj"):
+        assert hgt == out_size and wid == out_size, "mode=none needs pre-sized frames"
+        return clips.astype(jnp.float32)
+
+    if mode == "rctraj":
+        keys = jax.random.split(key, b)
+
+        def one_clip(k, clip):
+            i, j, h, w = sample_crop_params(k, hgt, wid, scale)
+            return jax.vmap(lambda im: resized_crop(im, i, j, h, w, out_size))(clip)
+
+        return jax.vmap(one_clip)(keys, clips)
+
+    keys = jax.random.split(key, b * f).reshape(b, f, -1)
+
+    def one_frame(k, im):
+        i, j, h, w = sample_crop_params(k, hgt, wid, scale)
+        return resized_crop(im, i, j, h, w, out_size)
+
+    return jax.vmap(jax.vmap(one_frame))(keys, clips)

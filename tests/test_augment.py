@@ -1,0 +1,84 @@
+"""Device-side RandomResizedCrop: resize numerics vs torch, param law stats."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from r3m_tpu.data.augment import (
+    random_resized_crop_clips,
+    resized_crop,
+    sample_crop_params,
+)
+
+
+def test_resized_crop_matches_torch_interpolate(rng):
+    """crop+bilinear resize == torch F.interpolate(align_corners=False) on the crop."""
+    img = rng.uniform(0, 255, size=(64, 80, 3)).astype(np.float32)
+    i, j, h, w = 7, 11, 40, 53
+    ref = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(img[i : i + h, j : j + w]).permute(2, 0, 1)[None],
+            size=(32, 32),
+            mode="bilinear",
+            align_corners=False,
+        )[0]
+        .permute(1, 2, 0)
+        .numpy()
+    )
+    ours = resized_crop(
+        jnp.asarray(img), float(i), float(j), float(h), float(w), 32
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_crop_param_law():
+    """Params respect torchvision's bounds: area in [0.2,1.0]*A (pre-round),
+    aspect in [3/4,4/3] (pre-round), crop inside the image."""
+    H = W = 224
+    keys = jax.random.split(jax.random.PRNGKey(0), 500)
+    ps = jax.vmap(lambda k: jnp.stack(sample_crop_params(k, H, W)))(keys)
+    ps = np.asarray(ps)
+    i, j, h, w = ps.T if ps.shape[1] != 4 else (ps[:, 0], ps[:, 1], ps[:, 2], ps[:, 3])
+    assert np.all(i >= 0) and np.all(j >= 0)
+    assert np.all(i + h <= H) and np.all(j + w <= W)
+    area_frac = (h * w) / (H * W)
+    # rounding slop on h,w: allow small tolerance around [0.2, 1.0]
+    assert np.all(area_frac > 0.15) and np.all(area_frac <= 1.01)
+    ratio = w / h
+    assert np.all(ratio > 3 / 4 - 0.05) and np.all(ratio < 4 / 3 + 0.05)
+    # decent spread (not collapsed to fallback)
+    assert np.std(area_frac) > 0.1
+
+
+def test_rctraj_is_trajectory_consistent(rng):
+    """All 5 frames of a clip get the SAME crop: identical frames stay identical."""
+    frame = rng.uniform(0, 255, size=(64, 64, 3)).astype(np.float32)
+    clip = np.stack([frame] * 5)  # same image 5x
+    out = random_resized_crop_clips(
+        jax.random.PRNGKey(3), jnp.asarray(clip[None]), out_size=32, mode="rctraj"
+    )
+    out = np.asarray(out[0])
+    for f in range(1, 5):
+        np.testing.assert_array_equal(out[0], out[f])
+
+
+def test_rc_is_independent(rng):
+    frame = rng.uniform(0, 255, size=(64, 64, 3)).astype(np.float32)
+    clip = np.stack([frame] * 5)
+    out = np.asarray(
+        random_resized_crop_clips(
+            jax.random.PRNGKey(3), jnp.asarray(clip[None]), out_size=32, mode="rc"
+        )[0]
+    )
+    diffs = [np.abs(out[0] - out[f]).max() for f in range(1, 5)]
+    assert max(diffs) > 1.0  # at least one frame cropped differently
+
+
+def test_none_mode_passthrough(rng):
+    clip = rng.uniform(0, 255, size=(2, 5, 32, 32, 3)).astype(np.float32)
+    out = random_resized_crop_clips(
+        jax.random.PRNGKey(0), jnp.asarray(clip), out_size=32, mode="none"
+    )
+    np.testing.assert_array_equal(np.asarray(out), clip)
