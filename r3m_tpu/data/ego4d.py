@@ -1,0 +1,172 @@
+"""Ego4D clip dataset: manifest, frame-index sampling law, batch assembly.
+
+Mirrors the reference's `R3MBuffer` sampling semantics
+(``/root/reference/r3m/utils/data_loaders.py:38-109``) without the torch
+DataLoader machinery:
+
+* manifest.csv columns ``path`` (frame dir), ``len`` (frame count),
+  ``txt`` (narration; the leading ``"C "`` is stripped via txt[2:]);
+* per-sample index law (data_loaders.py:75-79), frames are 1-based files
+  ``{path}/{index:06}.jpg``:
+      start  ~ U[1, 2 + int(alpha*len))
+      end    ~ U[int((1-alpha)*len) - 1, len)
+      s1     ~ U[2, len)
+      s0     ~ U[1, s1)
+      s2     ~ U[s1, len + 1)
+* a batch is ([B, 5, H, W, 3] uint8 frames in order
+  (start, end, s0, s1, s2), captions) — the (e0, eg, es0, es1, es2)
+  order the loss engine expects.
+
+Decoding runs through the native batched JPEG stage (decoder.py); the
+random-resized-crop augmentation happens on DEVICE (augment.py), so the
+host path is just sample->decode->stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from r3m_tpu.data.decoder import JpegDecoder
+
+
+@dataclasses.dataclass
+class ClipSample:
+    paths: List[str]  # 5 frame file paths
+    caption: str
+
+
+class Ego4DDataset:
+    """Manifest-backed clip sampler (host side, pure numpy RNG)."""
+
+    def __init__(
+        self,
+        datapath: str,
+        alpha: float = 0.2,
+        seed: int = 0,
+        manifest: Optional[pd.DataFrame] = None,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        if manifest is None:
+            manifest = pd.read_csv(os.path.join(datapath, "manifest.csv"))
+        if num_shards > 1:
+            # host-level sharding for multi-process (multi-host) input
+            manifest = manifest.iloc[shard_index::num_shards].reset_index(drop=True)
+        self.manifest = manifest
+        self.alpha = alpha
+        self.rng = np.random.default_rng(seed)
+        self._paths = manifest["path"].to_numpy()
+        self._lens = manifest["len"].to_numpy()
+        self._txts = manifest["txt"].to_numpy()
+
+    def __len__(self) -> int:
+        return len(self.manifest)
+
+    def sample_indices(self, vidlen: int) -> Tuple[int, int, int, int, int]:
+        """The exact index law of data_loaders.py:75-79 (1-based frames)."""
+        rng = self.rng
+        start_ind = int(rng.integers(1, 2 + int(self.alpha * vidlen)))
+        end_ind = int(rng.integers(max(int((1 - self.alpha) * vidlen) - 1, 1), vidlen))
+        s1_ind = int(rng.integers(2, vidlen))
+        s0_ind = int(rng.integers(1, s1_ind))
+        s2_ind = int(rng.integers(s1_ind, vidlen + 1))
+        return start_ind, end_ind, s0_ind, s1_ind, s2_ind
+
+    def sample_clip(self) -> ClipSample:
+        vidid = int(self.rng.integers(0, len(self._paths)))
+        vidlen = int(self._lens[vidid])
+        txt = str(self._txts[vidid])
+        caption = txt[2:]  # strips the leading "C " (data_loaders.py:72)
+        vid = str(self._paths[vidid])
+        inds = self.sample_indices(vidlen)
+        return ClipSample(
+            paths=[os.path.join(vid, f"{i:06}.jpg") for i in inds],
+            caption=caption,
+        )
+
+    def sample_batch(self, batch_size: int) -> Tuple[List[str], List[str]]:
+        """Returns (5*B flat frame paths, B captions)."""
+        paths: List[str] = []
+        captions: List[str] = []
+        for _ in range(batch_size):
+            c = self.sample_clip()
+            paths.extend(c.paths)
+            captions.append(c.caption)
+        return paths, captions
+
+
+class FrameBatcher:
+    """sample -> decode -> [B, 5, H, W, 3] uint8 batch assembly with a
+    reusable staging buffer (no per-step allocation)."""
+
+    def __init__(
+        self,
+        dataset: Ego4DDataset,
+        batch_size: int,
+        height: int = 224,
+        width: int = 224,
+        n_threads: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.decoder = JpegDecoder(height, width, n_threads)
+        self._buf = np.empty((batch_size * 5, height, width, 3), dtype=np.uint8)
+
+    def next_batch(self) -> Tuple[np.ndarray, List[str]]:
+        paths, captions = self.dataset.sample_batch(self.batch_size)
+        frames = self.decoder.decode_batch(paths, out=self._buf)
+        clips = frames.reshape(self.batch_size, 5, *frames.shape[1:])
+        return clips, captions
+
+
+def write_synthetic_dataset(
+    root: str,
+    n_videos: int = 8,
+    min_len: int = 12,
+    max_len: int = 40,
+    size: int = 224,
+    seed: int = 0,
+    captions: Optional[Sequence[str]] = None,
+) -> str:
+    """Generate a synthetic Ego4D-layout fixture (manifest.csv + JPEG frames).
+
+    Used by tests and benchmarks; frame content is a smooth moving gradient
+    so JPEG compresses fast and crops remain distinguishable.
+    """
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    rows = []
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    for v in range(n_videos):
+        vlen = int(rng.integers(min_len, max_len + 1))
+        vdir = os.path.join(root, f"vid{v:03}")
+        os.makedirs(vdir, exist_ok=True)
+        phase = rng.uniform(0, 2 * np.pi)
+        for t in range(1, vlen + 1):
+            shift = t / vlen
+            img = np.stack(
+                [
+                    127 + 120 * np.sin(2 * np.pi * (xx + shift) + phase),
+                    127 + 120 * np.cos(2 * np.pi * (yy - shift) + phase),
+                    127 + 120 * np.sin(2 * np.pi * (xx + yy + shift)),
+                ],
+                axis=-1,
+            ).clip(0, 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(vdir, f"{t:06}.jpg"), quality=85
+            )
+        cap = (
+            captions[v % len(captions)]
+            if captions
+            else f"C person moves object {v}"
+        )
+        rows.append({"path": vdir, "len": vlen, "txt": cap})
+    pd.DataFrame(rows).to_csv(os.path.join(root, "manifest.csv"), index=False)
+    return root

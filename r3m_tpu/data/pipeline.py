@@ -1,0 +1,98 @@
+"""Async input pipeline: background sample+decode+tokenize, bounded prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=10,
+pin_memory=True)`` over an IterableDataset
+(``/root/reference/r3m/train_representation.py:54-61``). Host work
+(manifest sampling, native JPEG decode, WordPiece tokenization) runs in a
+producer thread feeding a bounded queue, so the accelerator step never
+waits on the host once the queue is warm; the *device-side* share of the
+reference pipeline (RandomResizedCrop + normalize) lives in the jitted
+train step instead (augment.py), which is where a TPU wants it.
+
+Yields host numpy batch dicts; the workspace places them onto the device
+(or shards them over the mesh via `parallel.mesh.shard_batch`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from r3m_tpu.data.ego4d import FrameBatcher
+from r3m_tpu.text.tokenizer import WordPieceTokenizer
+
+
+class DataPipeline:
+    """Producer-thread pipeline; iterate to get batch dicts.
+
+    Batch dict fields (matching `training.trainer.make_train_step`):
+      images    [B, 5, H, W, 3] uint8
+      token_ids [B, T] int32, attn_mask [B, T] int32, lang_mask [B] f32
+      captions  list[str] (host-only convenience; stripped before device put)
+    """
+
+    def __init__(
+        self,
+        batcher: FrameBatcher,
+        tokenizer: Optional[WordPieceTokenizer] = None,
+        lang_max_len: int = 32,
+        prefetch: int = 2,
+    ):
+        self.batcher = batcher
+        self.tokenizer = tokenizer
+        self.lang_max_len = lang_max_len
+        self._q: "queue.Queue[Dict]" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _make_batch(self) -> Dict:
+        clips, captions = self.batcher.next_batch()
+        batch: Dict = {"images": clips.copy(), "captions": captions}
+        if self.tokenizer is not None:
+            ids, mask = self.tokenizer.encode_batch(captions, self.lang_max_len)
+            batch["token_ids"] = ids
+            batch["attn_mask"] = mask
+            batch["lang_mask"] = np.asarray(
+                [1.0 if c != "" else 0.0 for c in captions], dtype=np.float32
+            )
+        return batch
+
+    def _produce(self):
+        try:
+            while not self._stop.is_set():
+                batch = self._make_batch()
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surfaced on next __next__
+            self._err = e
+
+    def __iter__(self) -> Iterator[Dict]:
+        return self
+
+    def __next__(self) -> Dict:
+        while True:
+            if self._err is not None:
+                raise RuntimeError("data pipeline producer failed") from self._err
+            try:
+                return self._q.get(timeout=1.0)
+            except queue.Empty:
+                continue
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

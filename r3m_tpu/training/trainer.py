@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from r3m_tpu.data.augment import random_resized_crop_clips
 from r3m_tpu.losses import draw_permutations, r3m_loss
 from r3m_tpu.models.distilbert import sentence_embedding
 from r3m_tpu.models.r3m import R3MConfig, r3m_embed
@@ -101,6 +102,7 @@ def make_train_step(
     bert_params: Optional[Pytree] = None,
     mesh=None,
     donate: bool = True,
+    doaug: str = "none",
 ):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
@@ -109,6 +111,10 @@ def make_train_step(
       token_ids:  [B, T] int32        (only when cfg.langweight > 0)
       attn_mask:  [B, T] int32
       lang_mask:  [B]    float32      (1.0 where caption non-empty)
+
+    `doaug` in {"none", "rc", "rctraj"} applies the reference's
+    RandomResizedCrop on-device before encoding (data_loaders.py:47-52) —
+    trajectory-consistent for "rctraj".
 
     When `mesh` is given the returned function carries in/out shardings
     (params replicated, batch sharded on dp) — call it on globally-shaped
@@ -119,7 +125,12 @@ def make_train_step(
     tx = make_optimizer(cfg)
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
-        key, new_key = jax.random.split(state.key)
+        key, aug_key, new_key = jax.random.split(state.key, 3)
+        if doaug in ("rc", "rctraj"):
+            batch = dict(batch)
+            batch["images"] = random_resized_crop_clips(
+                aug_key, batch["images"], out_size=cfg.image_size, mode=doaug
+            )
         bs = batch["images"].shape[0]
         perms = draw_permutations(key, bs, cfg.num_negatives)
 
