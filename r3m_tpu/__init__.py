@@ -1,0 +1,111 @@
+"""r3m_tpu — TPU-native R3M: pretraining + pretrained visual representations.
+
+Public API mirroring the reference package (``/root/reference/r3m/
+__init__.py``): `load_r3m(modelid)` / `load_r3m_reproduce(modelid)` return
+a callable image->embedding module from the published pretrained
+checkpoints (converted from torch on the fly), and `R3M`/`R3MConfig`
+expose the model for training.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from r3m_tpu.models.r3m import (  # noqa: F401
+    R3MConfig,
+    R3MEncoder,
+    r3m_embed,
+    r3m_init,
+    sim,
+)
+
+__version__ = "0.1.0"
+
+# Constructor args accepted from checkpoint configs (r3m/__init__.py:15).
+VALID_ARGS = [
+    "_target_",
+    "device",
+    "lr",
+    "hidden_dim",
+    "size",
+    "l2weight",
+    "l1weight",
+    "langweight",
+    "tcnweight",
+    "l2dist",
+    "bs",
+]
+
+# torch-API-compat alias: reference exports the model class as `R3M`.
+R3M = R3MEncoder
+
+
+def cleanup_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Sanitize a checkpoint's config node (r3m/__init__.py:21-33).
+
+    Filters to VALID_ARGS and forces langweight=0 — downstream use is as a
+    visual representation, so the language head is dropped.
+    """
+    agent = dict(cfg.get("agent", cfg))
+    agent = {k: v for k, v in agent.items() if k in VALID_ARGS}
+    agent["langweight"] = 0
+    agent.pop("_target_", None)
+    agent.pop("device", None)
+    return agent
+
+
+def _load_from_artifacts(modelpath: str, configpath: str) -> R3MEncoder:
+    import yaml
+
+    from r3m_tpu.checkpoint import load_torch_checkpoint
+
+    with open(configpath) as f:
+        raw_cfg = yaml.safe_load(f)
+    agent = cleanup_config(raw_cfg)
+    bundle = load_torch_checkpoint(modelpath, include_language=False)
+    agent["size"] = bundle["size"]  # trust the weights over the config
+    cfg = R3MConfig(**{k: v for k, v in agent.items() if k in R3MConfig.__dataclass_fields__})
+    return R3MEncoder(
+        cfg,
+        params={"convnet": bundle["convnet"]["params"]},
+        batch_stats=bundle["convnet"]["batch_stats"],
+    )
+
+
+def load_r3m(modelid: str) -> R3MEncoder:
+    """Load a pretrained R3M visual encoder ("resnet50"/"resnet34"/"resnet18").
+
+    Same registry + ``~/.r3m`` cache layout as the reference
+    (r3m/__init__.py:44-75); weights are converted from the published torch
+    checkpoints. The returned module is called with NCHW images in
+    [0, 255] and returns [B, out_dim] embeddings.
+    """
+    from r3m_tpu.fetch import ensure_artifacts
+
+    modelpath, configpath = ensure_artifacts(modelid, reproduce=False)
+    return _load_from_artifacts(modelpath, configpath)
+
+
+def load_r3m_reproduce(modelid: str) -> R3MEncoder:
+    """Load paper-reproduction checkpoints ("r3m"/"r3m_noaug"/"r3m_nol1"/
+    "r3m_nolang") — r3m/__init__.py:77-113 (with its `modelif` typo fixed,
+    making r3m_nol1 / r3m_nolang actually loadable)."""
+    from r3m_tpu.fetch import ensure_artifacts
+
+    modelpath, configpath = ensure_artifacts(modelid, reproduce=True)
+    return _load_from_artifacts(modelpath, configpath)
+
+
+def load_r3m_from_files(modelpath: str, configpath: str = None) -> R3MEncoder:
+    """Load from explicit artifact paths (offline hosts, local snapshots)."""
+    if configpath is not None:
+        return _load_from_artifacts(modelpath, configpath)
+    from r3m_tpu.checkpoint import load_torch_checkpoint
+
+    bundle = load_torch_checkpoint(modelpath, include_language=False)
+    cfg = R3MConfig(size=bundle["size"], langweight=0)
+    return R3MEncoder(
+        cfg,
+        params={"convnet": bundle["convnet"]["params"]},
+        batch_stats=bundle["convnet"]["batch_stats"],
+    )

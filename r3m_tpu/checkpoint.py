@@ -1,0 +1,194 @@
+"""Checkpointing: TPU-native snapshot format + reference-checkpoint import.
+
+Native format replaces the reference's pickled torch snapshots
+(``/root/reference/r3m/train_representation.py:123-138``: ``snapshot.pt``
+with ``{"r3m": state_dict, "global_step": int}``). Snapshots here are a
+single ``.npz`` (zip of raw arrays — mmap-able, no pickle, portable across
+torch/JAX versions) holding the flattened train-state pytree plus a JSON
+metadata entry (global_step, model config), with the same rolling
+``snapshot.npz`` + per-eval ``snapshot_{step}.npz`` layout and auto-resume
+semantics.
+
+`load_torch_checkpoint` imports the reference's published ``model.pt``
+files (and training snapshots) through `r3m_tpu.convert`, so
+`load_r3m("resnet50")` reproduces reference embeddings from the original
+artifacts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+Pytree = Any
+
+_META_KEY = "__meta__"
+
+
+# ---------------------------------------------------------------------------
+# Pytree <-> flat dict with encoded paths ("d:a/l:0/d:w")
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Pytree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}d:{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}l:{i}/"))
+    elif tree is None:
+        out[prefix + "n:"] = np.zeros((0,))
+    else:
+        out[prefix + "a:"] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Pytree:
+    root: Dict[str, Any] = {}
+    for key, arr in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        leaf = parts[-1]
+        node[leaf] = None if leaf.startswith("n:") else arr
+
+    def build(node):
+        if not isinstance(node, dict):
+            return node
+        if len(node) == 1:
+            (k, v), = node.items()
+            if k == "a:" or k == "n:":
+                return v
+        if all(k.startswith("l:") for k in node):
+            items = sorted(node.items(), key=lambda kv: int(kv[0][2:]))
+            return [build(v) for _, v in items]
+        return {k[2:]: build(v) for k, v in node.items()}
+
+    return build(root)
+
+
+# ---------------------------------------------------------------------------
+# Native snapshots
+# ---------------------------------------------------------------------------
+
+
+def save_snapshot(path: str, tree: Pytree, meta: Optional[Dict] = None) -> None:
+    """Write pytree + metadata to `path` (.npz). Atomic via tmp+rename."""
+    flat = _flatten(jax.tree_util.tree_map(np.asarray, tree))
+    meta_arr = np.frombuffer(
+        json.dumps(meta or {}).encode("utf-8"), dtype=np.uint8
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat, **{_META_KEY: meta_arr})
+    os.replace(tmp, path)
+
+
+def load_snapshot(path: str) -> Tuple[Pytree, Dict]:
+    """Read a snapshot; returns (pytree, meta)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files if k != _META_KEY}
+        meta = (
+            json.loads(bytes(z[_META_KEY]).decode("utf-8"))
+            if _META_KEY in z.files
+            else {}
+        )
+    return _unflatten(flat), meta
+
+
+# ---------------------------------------------------------------------------
+# Train-state snapshots (rolling + per-step, reference layout)
+# ---------------------------------------------------------------------------
+
+
+def save_train_snapshot(work_dir: str, state, cfg=None, keep_step_copy=True) -> str:
+    """Reference semantics (train_representation.py:123-130): write
+    snapshot_{step}.npz (without step meta) and rolling snapshot.npz (with)."""
+    from r3m_tpu.training.trainer import TrainState  # noqa: F401 (doc link)
+
+    step = int(np.asarray(state.step))
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "key": state.key,
+    }
+    meta = {"global_step": step}
+    if cfg is not None:
+        meta["config"] = dataclasses.asdict(cfg)
+    if keep_step_copy:
+        save_snapshot(os.path.join(work_dir, f"snapshot_{step}.npz"), tree, meta)
+    rolling = os.path.join(work_dir, "snapshot.npz")
+    save_snapshot(rolling, tree, meta)
+    return rolling
+
+
+def load_train_snapshot(path: str, state):
+    """Restore a TrainState from a snapshot, preserving pytree dtypes."""
+    from r3m_tpu.training.trainer import TrainState
+    import jax.numpy as jnp
+
+    tree, meta = load_snapshot(path)
+    step = int(meta.get("global_step", 0))
+
+    def restore_like(saved, ref):
+        """Rebuild with `ref`'s pytree structure (NamedTuples like optax's
+        ScaleByAdamState serialize as plain lists) and dtypes."""
+        ref_leaves, treedef = jax.tree_util.tree_flatten(ref)
+        saved_leaves = jax.tree_util.tree_leaves(saved)
+        if len(saved_leaves) != len(ref_leaves):
+            raise ValueError(
+                f"snapshot/state leaf-count mismatch: {len(saved_leaves)} vs "
+                f"{len(ref_leaves)}"
+            )
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                jnp.asarray(s, dtype=r.dtype)
+                for s, r in zip(saved_leaves, ref_leaves)
+            ],
+        )
+
+    return TrainState(
+        params=restore_like(tree["params"], state.params),
+        batch_stats=restore_like(tree["batch_stats"], state.batch_stats),
+        opt_state=restore_like(tree["opt_state"], state.opt_state),
+        step=jnp.asarray(step, jnp.int32),
+        key=jnp.asarray(tree["key"], state.key.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference (torch) checkpoint import
+# ---------------------------------------------------------------------------
+
+
+def load_torch_checkpoint(path: str, include_language: bool = False) -> Dict:
+    """Load a reference ``model.pt``/``snapshot.pt`` into JAX pytrees.
+
+    Returns `convert.convert_r3m_torch_state` bundle + "global_step" if the
+    payload carries one (train_representation.py:129).
+    """
+    import torch
+
+    from r3m_tpu.convert import convert_r3m_torch_state
+
+    try:
+        payload = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload["r3m"] if isinstance(payload, dict) and "r3m" in payload else payload
+    bundle = convert_r3m_torch_state(sd, include_language=include_language)
+    if isinstance(payload, dict) and "global_step" in payload:
+        bundle["global_step"] = int(payload["global_step"])
+    return bundle

@@ -1,0 +1,91 @@
+"""Pretrained-artifact fetch layer (reference model-id registry + cache).
+
+Mirrors the reference's download path (``/root/reference/r3m/__init__.py:
+44-67``): the same model-id -> Google-Drive-artifact mapping, the same
+``~/.r3m/<folder>/{model.pt, config.yaml}`` cache layout, but implemented
+on `requests` (gdown isn't in the image) with the standard Drive
+confirm-token dance. In a zero-egress environment the fetch is skipped
+whenever the cache is already populated (e.g. artifacts copied in by the
+user), and raises a clear error otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from os.path import expanduser
+from typing import Dict, Tuple
+
+# model-id -> (cache folder, model.pt drive id, config.yaml drive id)
+# Drive ids match r3m/__init__.py:46-57 (load_r3m) and :79-94
+# (load_r3m_reproduce; the reference's `modelif` typo made the last two
+# unreachable — fixed here).
+MODEL_REGISTRY: Dict[str, Tuple[str, str, str]] = {
+    "resnet50": ("r3m_50", "1Xu0ssuG0N1zjZS54wmWzJ7-nb0-7XzbA", "10jY2VxrrhfOdNPmsFdES568hjjIoBJx8"),
+    "resnet34": ("r3m_34", "15bXD3QRhspIRacOKyWPw5y2HpoWUCEnE", "1RY0NS-Tl4G7M1Ik_lOym0b5VIBxX9dqW"),
+    "resnet18": ("r3m_18", "1A1ic-p4KtYlKXdXHcV2QV0cUzI4kn0u-", "1nitbHQ-GRorxc7vMUiEHjHWP5N11Jvc6"),
+}
+
+REPRODUCE_REGISTRY: Dict[str, Tuple[str, str, str]] = {
+    "r3m": ("original_r3m", "1jLb1yldIMfAcGVwYojSQmMpmRM7vqjp9", "1cu-Pb33qcfAieRIUptNlG1AQIMZlAI-q"),
+    "r3m_noaug": ("original_r3m_noaug", "1k_ZlVtvlktoYLtBcfD0aVFnrZcyCNS9D", "1hPmJwDiWPkd6GGez6ywSC7UOTIX7NgeS"),
+    "r3m_nol1": ("original_r3m_nol1", "1LpW3aBMdjoXsjYlkaDnvwx7q22myM_nB", "1rZUBrYJZvlF1ReFwRidZsH7-xe7csvab"),
+    "r3m_nolang": ("original_r3m_nolang", "1FXcniRei2JDaGMJJ_KlVxHaLy0Fs_caV", "192G4UkcNJO4EKN46ECujMcH0AQVhnyQe"),
+}
+
+
+def cache_home() -> str:
+    return os.environ.get("R3M_HOME", os.path.join(expanduser("~"), ".r3m"))
+
+
+def _drive_download(file_id: str, dest: str) -> None:
+    """Download a public Drive file (gdown-equivalent confirm-token flow)."""
+    import requests
+
+    url = "https://drive.google.com/uc"
+    sess = requests.Session()
+    resp = sess.get(url, params={"id": file_id, "export": "download"}, stream=True, timeout=60)
+    token = None
+    for k, v in resp.cookies.items():
+        if k.startswith("download_warning"):
+            token = v
+    if token is None and b"confirm=" in resp.content[:100000]:
+        m = re.search(rb"confirm=([0-9A-Za-z_\-]+)", resp.content)
+        if m:
+            token = m.group(1).decode()
+    if token is not None:
+        resp = sess.get(
+            url,
+            params={"id": file_id, "export": "download", "confirm": token},
+            stream=True,
+            timeout=60,
+        )
+    resp.raise_for_status()
+    tmp = dest + ".part"
+    with open(tmp, "wb") as f:
+        for chunk in resp.iter_content(1 << 20):
+            f.write(chunk)
+    os.replace(tmp, dest)
+
+
+def ensure_artifacts(modelid: str, reproduce: bool = False) -> Tuple[str, str]:
+    """Return (model.pt path, config.yaml path), downloading if missing."""
+    registry = REPRODUCE_REGISTRY if reproduce else MODEL_REGISTRY
+    if modelid not in registry:
+        raise NameError(f"Invalid Model ID: {modelid!r} (valid: {sorted(registry)})")
+    folder, model_id, config_id = registry[modelid]
+    home = os.path.join(cache_home(), folder)
+    os.makedirs(home, exist_ok=True)
+    modelpath = os.path.join(home, "model.pt")
+    configpath = os.path.join(home, "config.yaml")
+    if not os.path.exists(modelpath):
+        try:
+            _drive_download(model_id, modelpath)
+            _drive_download(config_id, configpath)
+        except Exception as e:
+            raise RuntimeError(
+                f"Pretrained artifacts for {modelid!r} are not cached at {home} "
+                f"and could not be downloaded ({type(e).__name__}: {e}). "
+                f"Copy model.pt + config.yaml there manually on offline hosts."
+            ) from e
+    return modelpath, configpath

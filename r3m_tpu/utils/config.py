@@ -1,0 +1,119 @@
+"""Minimal Hydra-style config system: YAML + ${interpolation} + CLI overrides.
+
+The reference uses hydra-core + OmegaConf (``/root/reference/r3m/cfgs/
+config_rep.yaml``, ``train_representation.py:140``) for: (a) a root YAML
+with an ``agent`` sub-node, (b) ``${var}`` interpolation, (c)
+``key=value`` CLI dotlist overrides, and (d) object instantiation from
+``_target_``. This module provides those four capabilities with no
+external dependency (hydra isn't in the TPU image), keeping the same
+config file shape so reference users can port their YAML/CLI workflows
+unchanged.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+_INTERP = re.compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")
+
+
+class Config(dict):
+    """dict with attribute access and nested dot-path get/set."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+        return Config(v) if isinstance(v, dict) and not isinstance(v, Config) else v
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def get_path(self, path: str, default=None):
+        node: Any = self
+        for part in path.split("."):
+            if not isinstance(node, dict) or part not in node:
+                return default
+            node = node[part]
+        return node
+
+    def set_path(self, path: str, value):
+        parts = path.split(".")
+        node: Dict = self
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+
+def _parse_value(text: str) -> Any:
+    """YAML-typed scalar parse ('1e-4' -> float, 'true' -> bool, ...)."""
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError:
+        return text
+
+
+def _resolve(node: Any, root: Dict) -> Any:
+    if isinstance(node, dict):
+        return {k: _resolve(v, root) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_resolve(v, root) for v in node]
+    if isinstance(node, str):
+        m = _INTERP.match(node)
+        if m:
+            ref = Config(root).get_path(m.group(1))
+            if ref is None:
+                raise KeyError(f"unresolvable interpolation: {node}")
+            return _resolve(ref, root)
+    return node
+
+
+def load_config(
+    path: Optional[str] = None,
+    overrides: Optional[List[str]] = None,
+    base: Optional[Dict] = None,
+) -> Config:
+    """Load YAML, apply `key.path=value` overrides, resolve ${...}."""
+    cfg: Dict = copy.deepcopy(base) if base else {}
+    if path is not None:
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        cfg.update(loaded)
+    c = Config(cfg)
+    for ov in overrides or []:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value: {ov!r}")
+        key, val = ov.split("=", 1)
+        c.set_path(key.strip(), _parse_value(val))
+    resolved = _resolve(dict(c), dict(c))
+    return Config(resolved)
+
+
+def instantiate(node: Dict, **extra) -> Any:
+    """Hydra-style `_target_` instantiation (r3m/__init__.py:71)."""
+    node = dict(node)
+    target = node.pop("_target_")
+    mod_name, _, attr = target.rpartition(".")
+    import importlib
+
+    obj = getattr(importlib.import_module(mod_name), attr)
+    node.update(extra)
+    return obj(**node)
+
+
+def agent_to_r3m_config(agent: Dict) -> "Any":
+    """Map a reference-style `agent` config node onto `R3MConfig`.
+
+    Accepts the reference field set (r3m/cfgs/config_rep.yaml:30-41),
+    ignoring torch-only keys (`device`, `_target_`).
+    """
+    from r3m_tpu.models.r3m import R3MConfig
+
+    allowed = {f.name for f in __import__("dataclasses").fields(R3MConfig)}
+    kwargs = {k: v for k, v in agent.items() if k in allowed}
+    return R3MConfig(**kwargs)

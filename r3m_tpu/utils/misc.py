@@ -1,0 +1,130 @@
+"""General training utilities (JAX-native counterparts of r3m/utils/utils.py).
+
+Includes the step predicates and timers the training loop uses
+(``/root/reference/r3m/utils/utils.py:78-116``), seeding
+(``:34-39``), and JAX equivalents of the DrQV2-inherited helpers the
+reference carries (``:42-163``: EMA soft update, orthogonal init, top-k
+accuracy, truncated normal, schedule parser) so downstream users of those
+utilities find them here.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import time
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def set_seed_everywhere(seed: int) -> jax.Array:
+    """Seed python/numpy RNGs and return the root JAX PRNG key.
+
+    (utils.py:34-39 seeds torch/cuda/numpy/random; JAX randomness is
+    explicit, so the key is returned rather than hidden global state.)
+    """
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+class Until:
+    """True while step < until (utils.py:78-88)."""
+
+    def __init__(self, until, action_repeat: int = 1):
+        self._until = until
+        self._action_repeat = action_repeat
+
+    def __call__(self, step: int) -> bool:
+        if self._until is None:
+            return True
+        return step < int(self._until) // self._action_repeat
+
+
+class Every:
+    """True every `every` steps (utils.py:90-101)."""
+
+    def __init__(self, every, action_repeat: int = 1):
+        self._every = every
+        self._action_repeat = action_repeat
+
+    def __call__(self, step: int) -> bool:
+        if self._every is None:
+            return False
+        every = int(self._every) // self._action_repeat
+        return step % every == 0
+
+
+class Timer:
+    """Reset/elapsed/total wall-clock timer (utils.py:104-116)."""
+
+    def __init__(self):
+        self._start_time = time.time()
+        self._last_time = time.time()
+
+    def reset(self):
+        elapsed = time.time() - self._last_time
+        self._last_time = time.time()
+        total = time.time() - self._start_time
+        return elapsed, total
+
+    def total_time(self) -> float:
+        return time.time() - self._start_time
+
+
+def soft_update_params(net_params, target_params, tau: float):
+    """EMA pytree update (utils.py:42-45)."""
+    return jax.tree_util.tree_map(
+        lambda p, t: tau * p + (1 - tau) * t, net_params, target_params
+    )
+
+
+def orthogonal_init(key, shape, gain: float = 1.0, dtype=jnp.float32):
+    """Orthogonal weight init (utils.py:52-61 applies nn.init.orthogonal_)."""
+    return jax.nn.initializers.orthogonal(scale=gain)(key, shape, dtype)
+
+
+def accuracy(output: jax.Array, target: jax.Array, topk: Sequence[int] = (1,)):
+    """Top-k accuracy over logits [B, C] (utils.py:63-76)."""
+    maxk = max(topk)
+    pred = jnp.argsort(-output, axis=-1)[:, :maxk]  # [B, maxk]
+    correct = pred == target[:, None]
+    res = []
+    for k in topk:
+        res.append(jnp.mean(jnp.any(correct[:, :k], axis=-1).astype(jnp.float32)) * 100.0)
+    return res
+
+
+def truncated_normal(key, shape, mean=0.0, std=1.0, low=-2.0, high=2.0):
+    """Samples from a truncated normal (utils.py:119-140 TruncatedNormal)."""
+    z = jax.random.truncated_normal(key, low, high, shape)
+    return mean + std * z
+
+
+def schedule(schdl, step: int) -> float:
+    """Parse 'linear(init,final,duration)' / 'step_linear(...)' or a float
+    constant (utils.py:143-163)."""
+    try:
+        return float(schdl)
+    except ValueError:
+        pass
+    match = re.match(r"linear\((.+),(.+),(.+)\)", schdl)
+    if match:
+        init, final, duration = (float(g) for g in match.groups())
+        mix = float(np.clip(step / duration, 0.0, 1.0))
+        return (1.0 - mix) * init + mix * final
+    match = re.match(r"step_linear\((.+),(.+),(.+),(.+),(.+)\)", schdl)
+    if match:
+        init, final1, duration1, final2, duration2 = (
+            float(g) for g in match.groups()
+        )
+        if step <= duration1:
+            mix = float(np.clip(step / duration1, 0.0, 1.0))
+            return (1.0 - mix) * init + mix * final1
+        mix = float(np.clip((step - duration1) / duration2, 0.0, 1.0))
+        return (1.0 - mix) * final1 + mix * final2
+    raise NotImplementedError(schdl)

@@ -1,0 +1,139 @@
+"""Checkpoint round-trips + public load_r3m API parity on torch artifacts."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from r3m_tpu import load_r3m_from_files
+from r3m_tpu.checkpoint import (
+    load_snapshot,
+    load_torch_checkpoint,
+    load_train_snapshot,
+    save_snapshot,
+    save_train_snapshot,
+)
+from r3m_tpu.models.r3m import R3MConfig
+from r3m_tpu.training.trainer import create_train_state, make_train_step
+from tests.torch_ref import torch_resnet
+
+
+def test_snapshot_roundtrip(tmp_path):
+    tree = {
+        "a": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "nested": {"b": np.ones((4,), np.int32), "lst": [np.zeros(2), np.ones(3)]},
+        "none": None,
+    }
+    p = str(tmp_path / "snap.npz")
+    save_snapshot(p, tree, meta={"global_step": 42})
+    loaded, meta = load_snapshot(p)
+    assert meta["global_step"] == 42
+    np.testing.assert_array_equal(loaded["a"], tree["a"])
+    np.testing.assert_array_equal(loaded["nested"]["lst"][1], np.ones(3))
+    assert isinstance(loaded["nested"]["lst"], list)
+    assert loaded["none"] is None  # None round-trips
+
+
+def test_train_state_snapshot_resume(tmp_path):
+    cfg = R3MConfig(size=18, tcnweight=1.0, langweight=0.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {"images": rng.uniform(0, 255, (4, 5, 32, 32, 3)).astype(np.float32)}
+    state, _ = step(state, batch)
+
+    rolling = save_train_snapshot(str(tmp_path), state, cfg)
+    assert os.path.exists(rolling)
+    assert os.path.exists(str(tmp_path / "snapshot_1.npz"))
+
+    fresh = create_train_state(cfg, jax.random.PRNGKey(99))
+    restored = load_train_snapshot(rolling, fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed state must continue training identically
+    s1, m1 = step(restored, batch)
+    s2, m2 = step(state, batch)
+    np.testing.assert_allclose(
+        float(m1["full_loss"]), float(m2["full_loss"]), rtol=1e-6
+    )
+
+
+@pytest.fixture(scope="module")
+def fake_reference_artifacts(tmp_path_factory):
+    """A reference-layout snapshot: torch resnet18 under module.convnet.*"""
+    d = tmp_path_factory.mktemp("ref_ckpt")
+    tm = torch_resnet(18).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+    sd = {f"module.convnet.{k}": v for k, v in tm.state_dict().items()}
+    # plus language-head entries that must be stripped on load
+    sd["module.lang_enc.model.embeddings.word_embeddings.weight"] = torch.zeros(5, 4)
+    sd["module.lang_rew.pred.0.weight"] = torch.zeros(8, 8)
+    modelpath = str(d / "model.pt")
+    torch.save({"r3m": sd}, modelpath)
+    configpath = str(d / "config.yaml")
+    with open(configpath, "w") as f:
+        yaml.safe_dump(
+            {
+                "agent": {
+                    "_target_": "r3m.R3M",
+                    "device": "cuda",
+                    "lr": 1e-4,
+                    "hidden_dim": 1024,
+                    "size": 18,
+                    "l2weight": 1e-5,
+                    "l1weight": 1e-5,
+                    "langweight": 1.0,
+                    "tcnweight": 1.0,
+                    "l2dist": True,
+                    "bs": 16,
+                    "not_a_valid_arg": 123,
+                }
+            },
+            f,
+        )
+    return tm, modelpath, configpath
+
+
+def test_load_torch_checkpoint_strips_language(fake_reference_artifacts):
+    _, modelpath, _ = fake_reference_artifacts
+    bundle = load_torch_checkpoint(modelpath)
+    assert bundle["size"] == 18
+    assert bundle["lang_rew"] is None
+    assert bundle["convnet"]["params"]["conv1"]["w"].shape == (7, 7, 3, 64)
+
+
+def test_load_r3m_embedding_parity(fake_reference_artifacts, rng):
+    """BASELINE config 1: load_r3m forward matches reference embeddings."""
+    tm, modelpath, configpath = fake_reference_artifacts
+    model = load_r3m_from_files(modelpath, configpath)
+    assert model.cfg.langweight == 0  # cleanup_config forces it
+    assert model.outdim == 512
+
+    obs = rng.uniform(0, 255, size=(2, 3, 224, 224)).astype(np.float32)
+    emb = np.asarray(model(obs))
+
+    # reference forward: /255, ImageNet normalize, resnet
+    x = torch.from_numpy(obs) / 255.0
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    with torch.no_grad():
+        ref = tm((x - mean) / std).numpy()
+
+    cos = np.sum(emb * ref, -1) / (
+        np.linalg.norm(emb, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert np.all(cos >= 0.999), cos  # the BASELINE.json parity bar
+    np.testing.assert_allclose(emb, ref, rtol=1e-3, atol=1e-3)
