@@ -1,0 +1,198 @@
+"""Training workspace: wiring of data, model, mesh, logging, snapshots.
+
+Counterpart of the reference's `Workspace` + Hydra `main`
+(``/root/reference/r3m/train_representation.py:33-150``): seeds
+everything, builds train/val input pipelines (val: alpha=0, no aug —
+:51-52), instantiates the model from the config's ``agent`` node, runs the
+`Until(train_steps)` loop with `Every(eval_freq)` eval + snapshotting and
+metric prints every 10 steps, and auto-resumes from ``snapshot.npz``.
+
+TPU specifics: the model trains under a data-parallel mesh when more than
+one device is visible (ICI collectives via GSPMD), batches stream through
+the async host pipeline into device HBM, and the whole update is one jit.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from r3m_tpu.checkpoint import (
+    load_snapshot,
+    load_train_snapshot,
+    save_train_snapshot,
+)
+from r3m_tpu.data.ego4d import Ego4DDataset, FrameBatcher
+from r3m_tpu.data.pipeline import DataPipeline
+from r3m_tpu.models.r3m import R3MConfig
+from r3m_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from r3m_tpu.training.trainer import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from r3m_tpu.utils.config import Config, agent_to_r3m_config
+from r3m_tpu.utils.logger import Logger
+from r3m_tpu.utils.misc import Every, Timer, Until, set_seed_everywhere
+
+
+def load_bert_params(path: str):
+    """Load frozen DistilBERT weights: .npz snapshot or HF torch state dict."""
+    if path.endswith(".npz"):
+        tree, _ = load_snapshot(path)
+        return tree
+    import torch
+
+    from r3m_tpu.models.distilbert import convert_distilbert
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_distilbert(sd)
+
+
+class Workspace:
+    def __init__(self, cfg: Config, work_dir: Optional[str] = None):
+        self.work_dir = work_dir or os.getcwd()
+        print(f"workspace: {self.work_dir}")
+        self.cfg = cfg
+        self.key = set_seed_everywhere(int(cfg.get("seed", 1)))
+        self.logger = Logger(
+            cfg.get("log_dir") or self.work_dir,
+            use_tb=bool(cfg.get("use_tb", False)),
+            use_wandb=bool(cfg.get("use_wandb", False)),
+            cfg=dict(cfg),
+        )
+
+        # ---- model config -------------------------------------------------
+        mcfg = agent_to_r3m_config(cfg["agent"])
+        if cfg.get("compute_dtype"):
+            mcfg = mcfg.__class__(
+                **{**mcfg.__dict__, "compute_dtype": cfg["compute_dtype"]}
+            )
+        self.model_cfg: R3MConfig = mcfg
+
+        # ---- language stack ----------------------------------------------
+        self.bert_params = None
+        self.tokenizer = None
+        if self.model_cfg.langweight > 0:
+            if not cfg.get("bert_weights"):
+                raise ValueError("agent.langweight > 0 requires cfg.bert_weights")
+            self.bert_params = load_bert_params(cfg["bert_weights"])
+            from r3m_tpu.text.tokenizer import WordPieceTokenizer
+
+            self.tokenizer = WordPieceTokenizer(vocab_file=cfg["vocab_path"])
+
+        # ---- data ---------------------------------------------------------
+        if cfg.get("dataset", "ego4d") != "ego4d":
+            raise NameError("Invalid Dataset")
+        bs = int(cfg.get("batch_size", 32))
+        n_threads = int(cfg.get("num_workers", 8))
+        print("Creating Dataloader")
+        train_ds = Ego4DDataset(
+            cfg["datapath"], alpha=float(cfg.get("alpha", 0.2)),
+            seed=int(cfg.get("seed", 1)),
+        )
+        val_ds = Ego4DDataset(
+            cfg["datapath"], alpha=0.0, seed=int(cfg.get("seed", 1)) + 1
+        )
+        self.train_pipe = DataPipeline(
+            FrameBatcher(train_ds, bs, n_threads=n_threads),
+            tokenizer=self.tokenizer,
+            lang_max_len=int(cfg.get("lang_max_len", 32)),
+        )
+        self.val_pipe = DataPipeline(
+            FrameBatcher(val_ds, bs, n_threads=n_threads),
+            tokenizer=self.tokenizer,
+            lang_max_len=int(cfg.get("lang_max_len", 32)),
+        )
+
+        # ---- mesh + steps ---------------------------------------------------
+        n_dev = cfg.get("n_devices") or len(jax.devices())
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        doaug = str(cfg.get("doaug", "none"))
+        if doaug in ("0", "False", "None"):
+            doaug = "none"
+        print("Initializing Model")
+        self.train_step = make_train_step(
+            self.model_cfg, bert_params=self.bert_params, mesh=self.mesh,
+            doaug=doaug,
+        )
+        self.eval_step = make_eval_step(
+            self.model_cfg, bert_params=self.bert_params, mesh=self.mesh
+        )
+        self.state = create_train_state(self.model_cfg, self.key)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+
+        self.timer = Timer()
+
+        # ---- resume ---------------------------------------------------------
+        if cfg.get("load_snap"):
+            print("LOADING", cfg["load_snap"])
+            self.state = load_train_snapshot(cfg["load_snap"], self.state)
+        else:
+            rolling = os.path.join(self.work_dir, "snapshot.npz")
+            if os.path.exists(rolling):
+                print(f"resuming: {rolling}")
+                self.state = load_train_snapshot(rolling, self.state)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+
+    # ------------------------------------------------------------------
+    @property
+    def global_step(self) -> int:
+        return int(np.asarray(self.state.step))
+
+    def _place(self, batch: Dict) -> Dict:
+        batch = {k: v for k, v in batch.items() if k != "captions"}
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def train(self):
+        cfg = self.cfg
+        until = Until(cfg.get("train_steps", 2_000_000))
+        every = Every(cfg.get("eval_freq", 20_000))
+        print("Begin Training")
+        while until(self.global_step):
+            t0 = time.time()
+            batch = self._place(next(self.train_pipe))
+            t1 = time.time()
+            self.state, metrics = self.train_step(self.state, batch)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            t2 = time.time()
+            step = self.global_step
+            self.logger.log_metrics(metrics, step, ty="train")
+
+            if step % 10 == 0:
+                print(step, metrics)
+                print(f"Sample time {t1 - t0}, Update time {t2 - t1}")
+                self.logger.dump(step, ty="train")
+
+            if every(step - 1):
+                eval_batch = self._place(next(self.val_pipe))
+                ekey = jax.random.fold_in(jax.random.PRNGKey(0), step)
+                if self.mesh is not None:
+                    ekey = jax.device_put(
+                        ekey, jax.sharding.NamedSharding(
+                            self.mesh, jax.sharding.PartitionSpec()))
+                emetrics = self.eval_step(self.state, eval_batch, ekey)
+                emetrics = {k: float(v) for k, v in emetrics.items()}
+                self.logger.log_metrics(emetrics, step, ty="eval")
+                self.logger.dump(step, ty="eval")
+                print("EVAL", step, emetrics)
+                if cfg.get("snapshot", True):
+                    self.save_snapshot()
+        self.logger.dump(self.global_step)
+
+    def save_snapshot(self) -> str:
+        return save_train_snapshot(self.work_dir, self.state, self.model_cfg)
+
+    def close(self):
+        self.train_pipe.close()
+        self.val_pipe.close()

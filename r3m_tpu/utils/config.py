@@ -112,8 +112,21 @@ def agent_to_r3m_config(agent: Dict) -> "Any":
     Accepts the reference field set (r3m/cfgs/config_rep.yaml:30-41),
     ignoring torch-only keys (`device`, `_target_`).
     """
+    import dataclasses
+
     from r3m_tpu.models.r3m import R3MConfig
 
-    allowed = {f.name for f in __import__("dataclasses").fields(R3MConfig)}
-    kwargs = {k: v for k, v in agent.items() if k in allowed}
+    fields = {f.name: f for f in dataclasses.fields(R3MConfig)}
+    kwargs = {}
+    for k, v in agent.items():
+        if k not in fields:
+            continue
+        # pyyaml parses exponent-only literals like `1e-5` as strings
+        # (YAML 1.1 requires a dot); coerce to the dataclass field type.
+        ftype = fields[k].type
+        if isinstance(v, str) and ftype in ("float", float):
+            v = float(v)
+        elif isinstance(v, str) and ftype in ("int", int):
+            v = int(float(v))
+        kwargs[k] = v
     return R3MConfig(**kwargs)

@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""R3M-TPU pretraining entry point.
+
+Usage (same override style as the reference's Hydra CLI,
+/root/reference/README.md:32):
+
+    python train_representation.py datapath=/path/to/ego4d \
+        agent.langweight=1.0 agent.size=50 doaug=rctraj batch_size=16
+
+Config root: cfgs/config_rep.yaml; `key.path=value` overrides are YAML-typed.
+"""
+
+import os
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    from r3m_tpu.training.workspace import Workspace
+    from r3m_tpu.utils.config import load_config
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "cfgs", "config_rep.yaml")
+    for a in argv:
+        if a.startswith("--config="):
+            cfg_path = a.split("=", 1)[1]
+            argv.remove(a)
+            break
+    cfg = load_config(cfg_path, overrides=argv)
+    ws = Workspace(cfg)
+    try:
+        ws.train()
+    finally:
+        ws.close()
+
+
+if __name__ == "__main__":
+    main()
