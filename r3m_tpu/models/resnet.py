@@ -84,13 +84,15 @@ def conv2d(x, w, stride=1, padding=1, precision=None):
     """
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    # No preferred_element_type: the MXU accumulates bf16 inputs in f32
+    # natively and emits the input dtype; requesting an f32 output breaks
+    # the transpose (grad) rule's dtype matching for bf16 inputs.
     return jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),  # params live in f32; compute in the input dtype
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
         precision=precision,
     )
 
