@@ -1,0 +1,190 @@
+"""ViT-B/32 visual encoder (HF `google/vit-base-patch32-224-in21k` arch).
+
+The reference's ``size == 0`` branch builds this model via HF AutoModel
+(``/root/reference/r3m/models/models_r3m.py:52-56``) — a latent-broken
+path there (`AutoModel` is never imported, and the forward would return a
+`BaseModelOutputWithPooling` object into tensor code). This rebuild makes
+it actually trainable: the encoder returns the HF *pooler output*
+(tanh(dense(CLS))), a [B, 768] embedding, matching `outdim = 768`.
+
+Architecture: Conv 32x32/32 patch embed -> prepend CLS -> learned position
+embeddings (50 tokens @ 224x224) -> 12 pre-LN transformer layers (12 heads,
+dim 768, FFN 3072, exact GELU, LN eps 1e-12) -> final LN -> pooler.
+Weight conversion from an HF torch state dict is provided for parity tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Pytree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    dim: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    hidden_dim: int = 3072
+    layer_norm_eps: float = 1e-12
+
+
+B32 = ViTConfig()
+
+
+def _linear_init(key, fan_in, fan_out, std=0.02):
+    return {
+        "w": jax.random.normal(key, (fan_in, fan_out)) * std,
+        "b": jnp.zeros((fan_out,)),
+    }
+
+
+def _ln_init(dim):
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def vit_b32_init(key: jax.Array, cfg: ViTConfig = B32) -> Pytree:
+    n_tokens = (cfg.image_size // cfg.patch_size) ** 2 + 1
+    keys = jax.random.split(key, 4 + cfg.n_layers)
+    params: Dict[str, Any] = {
+        "patch": {
+            # HWIO conv kernel, stride == kernel == patch_size
+            "w": jax.random.normal(
+                keys[0], (cfg.patch_size, cfg.patch_size, 3, cfg.dim)
+            )
+            * 0.02,
+            "b": jnp.zeros((cfg.dim,)),
+        },
+        "cls": jax.random.normal(keys[1], (1, 1, cfg.dim)) * 0.02,
+        "pos": jax.random.normal(keys[2], (1, n_tokens, cfg.dim)) * 0.02,
+        "final_ln": _ln_init(cfg.dim),
+        "pooler": _linear_init(keys[3], cfg.dim, cfg.dim),
+    }
+    layers: List[Dict[str, Any]] = []
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[4 + i], 6)
+        layers.append(
+            {
+                "ln1": _ln_init(cfg.dim),
+                "q": _linear_init(lk[0], cfg.dim, cfg.dim),
+                "k": _linear_init(lk[1], cfg.dim, cfg.dim),
+                "v": _linear_init(lk[2], cfg.dim, cfg.dim),
+                "o": _linear_init(lk[3], cfg.dim, cfg.dim),
+                "ln2": _ln_init(cfg.dim),
+                "lin1": _linear_init(lk[4], cfg.dim, cfg.hidden_dim),
+                "lin2": _linear_init(lk[5], cfg.hidden_dim, cfg.dim),
+            }
+        )
+    params["layers"] = layers
+    return params
+
+
+def _layer_norm(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p, precision=None):
+    return (
+        jnp.dot(x, p["w"], precision=precision, preferred_element_type=jnp.float32)
+        + p["b"]
+    )
+
+
+def vit_b32_apply(
+    params: Pytree,
+    x: jax.Array,
+    cfg: ViTConfig = B32,
+    precision=None,
+) -> jax.Array:
+    """NHWC normalized images -> [B, dim] pooled embedding (HF pooler_output)."""
+    b = x.shape[0]
+    patches = jax.lax.conv_general_dilated(
+        x,
+        params["patch"]["w"].astype(x.dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+    patches = patches + params["patch"]["b"]
+    tokens = jnp.reshape(patches, (b, -1, cfg.dim))  # row-major patch order (HF)
+    cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.dim)).astype(tokens.dtype)
+    h = jnp.concatenate([cls, tokens], axis=1) + params["pos"]
+
+    head_dim = cfg.dim // cfg.n_heads
+    t = h.shape[1]
+    for layer in params["layers"]:
+        y = _layer_norm(h, layer["ln1"], cfg.layer_norm_eps)
+        q = _dense(y, layer["q"], precision).reshape(b, t, cfg.n_heads, head_dim)
+        k = _dense(y, layer["k"], precision).reshape(b, t, cfg.n_heads, head_dim)
+        v = _dense(y, layer["v"], precision).reshape(b, t, cfg.n_heads, head_dim)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, precision=precision,
+            preferred_element_type=jnp.float32,
+        ) / np.sqrt(head_dim)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, precision=precision,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, t, cfg.dim)
+        h = h + _dense(ctx, layer["o"], precision)
+        y = _layer_norm(h, layer["ln2"], cfg.layer_norm_eps)
+        y = jax.nn.gelu(_dense(y, layer["lin1"], precision), approximate=False)
+        h = h + _dense(y, layer["lin2"], precision)
+
+    h = _layer_norm(h, params["final_ln"], cfg.layer_norm_eps)
+    return jnp.tanh(_dense(h[:, 0], params["pooler"], precision))
+
+
+def convert_vit(sd, cfg: ViTConfig = B32) -> Pytree:
+    """HF ViTModel state dict -> pytree (torch OIHW conv -> HWIO; [out,in] -> [in,out])."""
+
+    def npa(t):
+        return np.asarray(
+            t.detach().cpu().numpy() if hasattr(t, "detach") else t, dtype=np.float32
+        )
+
+    def lin(prefix):
+        return {"w": npa(sd[f"{prefix}.weight"]).T, "b": npa(sd[f"{prefix}.bias"])}
+
+    def ln(prefix):
+        return {"scale": npa(sd[f"{prefix}.weight"]), "bias": npa(sd[f"{prefix}.bias"])}
+
+    params: Dict[str, Any] = {
+        "patch": {
+            "w": npa(
+                sd["embeddings.patch_embeddings.projection.weight"]
+            ).transpose(2, 3, 1, 0),
+            "b": npa(sd["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "cls": npa(sd["embeddings.cls_token"]),
+        "pos": npa(sd["embeddings.position_embeddings"]),
+        "final_ln": ln("layernorm"),
+        "pooler": lin("pooler.dense"),
+    }
+    layers = []
+    for i in range(cfg.n_layers):
+        base = f"encoder.layer.{i}"
+        layers.append(
+            {
+                "ln1": ln(f"{base}.layernorm_before"),
+                "q": lin(f"{base}.attention.attention.query"),
+                "k": lin(f"{base}.attention.attention.key"),
+                "v": lin(f"{base}.attention.attention.value"),
+                "o": lin(f"{base}.attention.output.dense"),
+                "ln2": ln(f"{base}.layernorm_after"),
+                "lin1": lin(f"{base}.intermediate.dense"),
+                "lin2": lin(f"{base}.output.dense"),
+            }
+        )
+    params["layers"] = layers
+    return params

@@ -1,0 +1,82 @@
+"""ViT-B/32-JAX parity vs HuggingFace torch ViTModel (random init).
+
+The reference's size==0 branch targets HF `google/vit-base-patch32-224-in21k`
+(models_r3m.py:52-56). Offline environment => parity is checked against a
+from-config randomly initialized HF ViTModel, which exercises the identical
+architecture + numerics paths.
+"""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from r3m_tpu.models.vit import ViTConfig, convert_vit, vit_b32_apply
+
+SMALL = ViTConfig(
+    image_size=32, patch_size=16, dim=32, n_layers=2, n_heads=4, hidden_dim=64
+)
+
+
+def _hf_model(cfg):
+    from transformers import ViTConfig as HFConfig, ViTModel
+
+    hf_cfg = HFConfig(
+        hidden_size=cfg.dim,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        intermediate_size=cfg.hidden_dim,
+        image_size=cfg.image_size,
+        patch_size=cfg.patch_size,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    return ViTModel(hf_cfg, add_pooling_layer=True).eval()
+
+
+def test_pooler_output_parity(rng):
+    tm = _hf_model(SMALL)
+    params = convert_vit(tm.state_dict(), SMALL)
+
+    imgs = rng.normal(size=(2, SMALL.image_size, SMALL.image_size, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        ).pooler_output.numpy()
+
+    ours = vit_b32_apply(
+        params, jnp.asarray(imgs), SMALL, precision=jax.lax.Precision.HIGHEST
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_r3m_embed_vit_shape():
+    """R3MConfig(size=0) end-to-end: [B,224,224,3] in [0,255] -> [B, 768]."""
+    from r3m_tpu.models.r3m import R3MConfig, r3m_embed, r3m_init
+
+    cfg = R3MConfig(size=0)
+    assert cfg.out_dim == 768
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+    obs = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    emb, stats = r3m_embed(cfg, state["params"], state["batch_stats"], obs)
+    assert emb.shape == (2, 768)
+    assert stats == {}  # no BN state in ViT
+
+
+def test_vit_train_step_runs():
+    """One jitted TCN train step with the ViT backbone (tiny batch)."""
+    from r3m_tpu.models.r3m import R3MConfig
+    from r3m_tpu.training.trainer import create_train_state, make_train_step
+
+    cfg = R3MConfig(size=0, langweight=0.0, tcnweight=1.0)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    batch = {
+        "images": jnp.zeros((2, 5, 224, 224, 3), jnp.float32) + 127.0,
+    }
+    step = make_train_step(cfg, doaug="none", donate=False)
+    new_state, metrics = step(state, batch)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["full_loss"]))
