@@ -57,7 +57,7 @@ def load_bert_params(path: str):
 
 class Workspace:
     def __init__(self, cfg: Config, work_dir: Optional[str] = None):
-        self.work_dir = work_dir or os.getcwd()
+        self.work_dir = work_dir or cfg.get("log_dir") or os.getcwd()
         print(f"workspace: {self.work_dir}")
         self.cfg = cfg
         self.key = set_seed_everywhere(int(cfg.get("seed", 1)))

@@ -1,0 +1,30 @@
+"""Packaging for r3m_tpu (counterpart of the reference's ``setup.py:16-31``).
+
+Installs the pure-Python package; the optional native JPEG decode stage
+(csrc/) is built separately with `make -C csrc` and discovered at runtime.
+"""
+
+from setuptools import find_packages, setup
+
+setup(
+    name="r3m_tpu",
+    version="0.1.0",
+    description=(
+        "TPU-native R3M: pretraining visual representations for robot "
+        "manipulation from Ego4D human videos + language (JAX/XLA/Pallas)"
+    ),
+    packages=find_packages(include=["r3m_tpu", "r3m_tpu.*"]),
+    python_requires=">=3.10",
+    install_requires=[
+        "jax",
+        "numpy",
+        "optax",
+        "pyyaml",
+        "pillow",
+        "requests",
+    ],
+    extras_require={
+        "convert": ["torch", "transformers"],  # checkpoint/HF weight import
+        "test": ["pytest", "torch", "torchvision", "transformers"],
+    },
+)
