@@ -142,11 +142,15 @@ class Workspace:
                 self.state = load_train_snapshot(rolling, self.state)
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
+        self._host_step = None  # lazily synced from device, then host-tracked
 
     # ------------------------------------------------------------------
     @property
     def global_step(self) -> int:
-        return int(np.asarray(self.state.step))
+        """Host-mirrored step counter (no device round-trip in the hot loop)."""
+        if self._host_step is None:
+            self._host_step = int(np.asarray(self.state.step))
+        return self._host_step
 
     def _place(self, batch: Dict) -> Dict:
         batch = {k: v for k, v in batch.items() if k != "captions"}
@@ -159,22 +163,29 @@ class Workspace:
         until = Until(cfg.get("train_steps", 2_000_000))
         every = Every(cfg.get("eval_freq", 20_000))
         print("Begin Training")
+        # Deferred metric readout: per-step metrics stay on device (tiny
+        # scalar dicts) and are flushed in ONE batched device_get every
+        # `metric_flush` steps, after later steps have been dispatched. The
+        # host never blocks on per-scalar D2H round-trips (expensive on
+        # tunneled TPUs) and the device pipeline stays deep.
+        flush_n = int(cfg.get("metric_flush", 10))
+        pending = []  # [(step, device metrics dict, sample_s, update_s)]
         while until(self.global_step):
             t0 = time.time()
             batch = self._place(next(self.train_pipe))
             t1 = time.time()
             self.state, metrics = self.train_step(self.state, batch)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            self._host_step += 1
             t2 = time.time()
             step = self.global_step
-            self.logger.log_metrics(metrics, step, ty="train")
-
-            if step % 10 == 0:
-                print(step, metrics)
-                print(f"Sample time {t1 - t0}, Update time {t2 - t1}")
-                self.logger.dump(step, ty="train")
+            pending.append((step, metrics, t1 - t0, t2 - t1))
+            if len(pending) >= flush_n:
+                self._flush_train_metrics(pending)
+                pending = []
 
             if every(step - 1):
+                self._flush_train_metrics(pending)
+                pending = []
                 eval_batch = self._place(next(self.val_pipe))
                 ekey = jax.random.fold_in(jax.random.PRNGKey(0), step)
                 if self.mesh is not None:
@@ -182,13 +193,29 @@ class Workspace:
                         ekey, jax.sharding.NamedSharding(
                             self.mesh, jax.sharding.PartitionSpec()))
                 emetrics = self.eval_step(self.state, eval_batch, ekey)
-                emetrics = {k: float(v) for k, v in emetrics.items()}
+                emetrics = {
+                    k: float(v) for k, v in jax.device_get(emetrics).items()
+                }
                 self.logger.log_metrics(emetrics, step, ty="eval")
                 self.logger.dump(step, ty="eval")
                 print("EVAL", step, emetrics)
                 if cfg.get("snapshot", True):
                     self.save_snapshot()
+        self._flush_train_metrics(pending)
         self.logger.dump(self.global_step)
+
+    def _flush_train_metrics(self, pending):
+        """One batched D2H fetch for a window of per-step metric dicts."""
+        if not pending:
+            return
+        fetched = jax.device_get([m for _, m, _, _ in pending])
+        for (step, _, sample_s, update_s), metrics in zip(pending, fetched):
+            metrics = {k: float(v) for k, v in metrics.items()}
+            self.logger.log_metrics(metrics, step, ty="train")
+            if step % 10 == 0:
+                print(step, metrics)
+                print(f"Sample time {sample_s}, Update time {update_s}")
+                self.logger.dump(step, ty="train")
 
     def save_snapshot(self) -> str:
         return save_train_snapshot(self.work_dir, self.state, self.model_cfg)
