@@ -188,20 +188,44 @@ class R3MEncoder:
         self.batch_stats = batch_stats
         self.module = self  # DataParallel-compat alias (ref accesses .module)
 
-        @jax.jit
-        def _fwd(params, batch_stats, obs_nchw):
-            obs = nchw_to_nhwc(obs_nchw)
-            emb, _ = r3m_embed(
-                cfg,
-                params,
-                batch_stats,
-                obs,
-                train=False,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return emb
+        if cfg.size != 0:
+            # Serving path: fold eval-mode BN into conv weights once — same
+            # math, no per-layer normalize passes at inference.
+            from r3m_tpu.models.resnet import fold_batchnorm, resnet_apply_folded
 
-        self._fwd = _fwd
+            folded = fold_batchnorm(params["convnet"], batch_stats, cfg.size)
+            mean, std = cfg.norm_stats
+
+            @jax.jit
+            def _fwd(folded, obs_nchw):
+                obs = nchw_to_nhwc(obs_nchw)
+                x = r3m_preprocess(
+                    obs, mean, std, crop_size=cfg.image_size,
+                    resize_to=max(1, round(cfg.image_size * 256 / 224)),
+                )
+                return resnet_apply_folded(
+                    folded, x, size=cfg.size,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            self._folded = folded
+            self._fwd = lambda p, s, obs: _fwd(self._folded, obs)
+        else:
+
+            @jax.jit
+            def _fwd(params, batch_stats, obs_nchw):
+                obs = nchw_to_nhwc(obs_nchw)
+                emb, _ = r3m_embed(
+                    cfg,
+                    params,
+                    batch_stats,
+                    obs,
+                    train=False,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return emb
+
+            self._fwd = _fwd
 
     @property
     def outdim(self) -> int:

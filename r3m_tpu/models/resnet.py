@@ -293,3 +293,82 @@ def resnet_apply(
 
 def resnet_out_dim(size: int) -> int:
     return RESNET_SPECS[size].out_dim
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm folding (inference/serving path)
+# ---------------------------------------------------------------------------
+
+
+def fold_batchnorm(params: Pytree, state: Pytree, size: int, eps=1e-5) -> Pytree:
+    """Fold eval-mode BN into the preceding conv: w' = w*inv, b' = bias - mean*inv.
+
+    Exact same math as conv -> batch_norm(train=False) (associativity aside),
+    but removes every BN normalize pass from the inference forward — the
+    serving-path equivalent of torch deploy-time BN fusion. Returns a
+    folded-params pytree for `resnet_apply_folded`.
+    """
+    spec = RESNET_SPECS[size]
+
+    def fold(conv_p, bn_p, bn_s):
+        inv = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + eps)
+        return {
+            "w": conv_p["w"] * inv,  # broadcasts over O (last axis of HWIO)
+            "b": bn_p["bias"] - bn_s["mean"] * inv,
+        }
+
+    folded: Dict[str, Any] = {
+        "conv1": fold(params["conv1"], params["bn1"], state["bn1"])
+    }
+    for stage, num_blocks in enumerate(spec.stage_sizes):
+        name = f"layer{stage + 1}"
+        blocks = []
+        for b in range(num_blocks):
+            p, s = params[name][b], state[name][b]
+            fp = {
+                "conv1": fold(p["conv1"], p["bn1"], s["bn1"]),
+                "conv2": fold(p["conv2"], p["bn2"], s["bn2"]),
+            }
+            if "conv3" in p:
+                fp["conv3"] = fold(p["conv3"], p["bn3"], s["bn3"])
+            if "downsample" in p:
+                fp["downsample"] = fold(
+                    p["downsample"]["conv"], p["downsample"]["bn"], s["downsample"]["bn"]
+                )
+            blocks.append(fp)
+        folded[name] = blocks
+    return folded
+
+
+def _conv_bias(x, p, stride, padding, precision=None):
+    return conv2d(x, p["w"], stride, padding, precision) + p["b"].astype(x.dtype)
+
+
+def resnet_apply_folded(
+    folded: Pytree, x: jax.Array, *, size: int, compute_dtype=None, precision=None
+) -> jax.Array:
+    """Inference forward over BN-folded params (no BN state, no stats passes)."""
+    spec = RESNET_SPECS[size]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    y = jax.nn.relu(_conv_bias(x, folded["conv1"], 2, 3, precision))
+    y = max_pool_3x3s2(y)
+    basic = spec.block == "basic"
+    for stage, num_blocks in enumerate(spec.stage_sizes):
+        for b in range(num_blocks):
+            p = folded[f"layer{stage + 1}"][b]
+            stride = 2 if (stage > 0 and b == 0) else 1
+            sc = (
+                _conv_bias(y, p["downsample"], stride, 0, precision)
+                if "downsample" in p
+                else y
+            )
+            if basic:
+                h = jax.nn.relu(_conv_bias(y, p["conv1"], stride, 1, precision))
+                h = _conv_bias(h, p["conv2"], 1, 1, precision)
+            else:
+                h = jax.nn.relu(_conv_bias(y, p["conv1"], 1, 0, precision))
+                h = jax.nn.relu(_conv_bias(h, p["conv2"], stride, 1, precision))
+                h = _conv_bias(h, p["conv3"], 1, 0, precision)
+            y = jax.nn.relu(h + sc)
+    return jnp.mean(y.astype(jnp.float32), axis=(1, 2))

@@ -113,3 +113,33 @@ def test_init_shapes_and_grad():
         lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0
     )
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+@pytest.mark.parametrize("size", [18, 50])
+def test_bn_folding_parity(size, rng):
+    """Folded inference forward == conv->BN(eval) forward (serving path)."""
+    import jax
+
+    from r3m_tpu.models.resnet import (
+        fold_batchnorm,
+        resnet_apply,
+        resnet_apply_folded,
+        resnet_init,
+    )
+
+    key = jax.random.PRNGKey(3)
+    params, state = resnet_init(key, size)
+    # non-trivial BN statistics
+    state = jax.tree_util.tree_map(
+        lambda x: x + jnp.abs(jax.random.normal(key, x.shape)) * 0.1, state
+    )
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    ref, _ = resnet_apply(
+        params, state, x, size=size, train=False,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    folded = fold_batchnorm(params, state, size)
+    out = resnet_apply_folded(
+        folded, x, size=size, precision=jax.lax.Precision.HIGHEST
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
