@@ -23,33 +23,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Pytree = Any
 
 DATA_AXIS = "dp"
+SLICE_AXIS = "dcn"  # outer axis for multi-slice (pod) scale-out over DCN
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
     axis_name: str = DATA_AXIS,
+    n_slices: int = 1,
 ) -> Mesh:
-    """1-D data-parallel mesh over the first `n_devices` local devices."""
+    """Data-parallel device mesh.
+
+    `n_slices == 1`: a 1-D ``(dp,)`` mesh over ICI (the common case).
+    `n_slices > 1`: a 2-D ``(dcn, dp)`` mesh — the outer axis maps across
+    pod slices (gradient psums ride DCN once per step; everything
+    batch-sharded rides ICI within a slice). The train step is axis-name
+    agnostic: batches shard over ALL mesh axes, params replicate.
+    On multi-slice deployments pass devices ordered slice-major (JAX's
+    default `jax.devices()` order) so the outer axis really is DCN.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if n_slices > 1:
+        if len(devices) % n_slices:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_slices={n_slices}"
+            )
+        return Mesh(
+            devices.reshape(n_slices, -1), (SLICE_AXIS, axis_name)
+        )
+    return Mesh(devices, (axis_name,))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharded(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard leading (batch) dimension across the dp axis."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension across ALL mesh axes."""
+    return NamedSharding(mesh, P(mesh.axis_names))
 
 
-def shard_batch(mesh: Mesh, batch: Pytree, axis_name: str = DATA_AXIS) -> Pytree:
+def shard_batch(mesh: Mesh, batch: Pytree) -> Pytree:
     """device_put every leaf with its batch axis split across the mesh."""
-    sharding = batch_sharded(mesh, axis_name)
+    sharding = batch_sharded(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 

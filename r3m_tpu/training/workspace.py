@@ -113,7 +113,10 @@ class Workspace:
 
         # ---- mesh + steps ---------------------------------------------------
         n_dev = cfg.get("n_devices") or len(jax.devices())
-        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        n_slices = int(cfg.get("n_slices", 1))
+        self.mesh = (
+            make_mesh(n_dev, n_slices=n_slices) if n_dev > 1 else None
+        )
         doaug = str(cfg.get("doaug", "none"))
         if doaug in ("0", "False", "None"):
             doaug = "none"
@@ -169,8 +172,12 @@ class Workspace:
         # host never blocks on per-scalar D2H round-trips (expensive on
         # tunneled TPUs) and the device pipeline stays deep.
         flush_n = int(cfg.get("metric_flush", 10))
+        prof_dir = cfg.get("profile_dir") or ""
+        prof_start, prof_n = 10, int(cfg.get("profile_steps", 5))
         pending = []  # [(step, device metrics dict, sample_s, update_s)]
         while until(self.global_step):
+            if prof_dir and self.global_step == prof_start:
+                jax.profiler.start_trace(prof_dir)
             t0 = time.time()
             batch = self._place(next(self.train_pipe))
             t1 = time.time()
@@ -179,6 +186,11 @@ class Workspace:
             t2 = time.time()
             step = self.global_step
             pending.append((step, metrics, t1 - t0, t2 - t1))
+            if prof_dir and step == prof_start + prof_n:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                prof_dir = ""  # one capture per run
+                print(f"profile trace written: {cfg.get('profile_dir')}")
             if len(pending) >= flush_n:
                 self._flush_train_metrics(pending)
                 pending = []

@@ -1,0 +1,81 @@
+"""Profiling utilities: jax.profiler traces + xprof op-time summaries.
+
+The reference's only tracing is wall-clock bracketing of update phases
+(``/root/reference/r3m/trainer.py:26-161``). The TPU-native equivalents:
+
+* per-step host timing lives in the training loop (workspace.py);
+* `trace(dir)` captures a device trace for a code region;
+* `op_profile_summary(dir)` parses the captured .xplane.pb with xprof
+  (when installed) into (time%, TF/s, GB/s, category) rows — the tool used
+  for the roofline analysis in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import json
+import os
+from typing import List, Tuple
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Context manager: capture a jax.profiler device trace into log_dir."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def op_profile_summary(log_dir: str, top: int = 12) -> List[Tuple]:
+    """Parse an xplane trace into per-category rows, heaviest first.
+
+    Returns [(time_frac, tflops_per_s, gb_per_s, occurrences, name), ...].
+    Requires the `xprof` package (present alongside tensorboard-plugin-
+    profile); raises ImportError otherwise.
+    """
+    from xprof.convert import raw_to_tool_data as rtd
+
+    files = sorted(
+        glob.glob(os.path.join(log_dir, "plugins/profile/*/*.xplane.pb"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no .xplane.pb under {log_dir}")
+    out, _ = rtd.xspace_to_tool_data([files[-1]], "op_profile", {})
+    data = json.loads(out)
+    rows = []
+
+    def walk(node, depth):
+        m = node.get("metrics", {})
+        if m.get("rawTime") and depth >= 2:
+            t = m["rawTime"]
+            fl = m.get("rawFlops", 0)
+            byt = (m.get("rawBytesAccessedArray") or [0])[0]
+            rows.append(
+                (
+                    t,
+                    fl / (t / 1e12) / 1e12 if t else 0.0,
+                    byt / (t / 1e12) / 1e9 if t else 0.0,
+                    m.get("occurrences", 0),
+                    node.get("name", "?"),
+                )
+            )
+            return
+        for c in node.get("children", []):
+            walk(c, depth + 1)
+
+    walk(data["byProgram"], 0)
+    rows.sort(reverse=True)
+    total = sum(r[0] for r in rows) or 1
+    return [
+        (t / total, tf, gb, occ, name) for t, tf, gb, occ, name in rows[:top]
+    ]
+
+
+def print_op_profile(log_dir: str, top: int = 12) -> None:
+    for frac, tf, gb, occ, name in op_profile_summary(log_dir, top):
+        print(f"{100*frac:5.1f}%  {tf:6.1f} TF/s  {gb:6.0f} GB/s  x{occ:5d}  {name}")

@@ -105,3 +105,25 @@ def test_multichip_dp_mesh(bert_params):
         float(metrics["full_loss"]), float(metrics1["full_loss"]),
         rtol=2e-4,
     )
+
+
+def test_multislice_dcn_mesh(bert_params):
+    """2-D (dcn, dp) multi-slice mesh: same global-batch loss as 1-chip."""
+    mesh = make_mesh(8, n_slices=2)
+    assert mesh.axis_names == ("dcn", "dp")
+    assert mesh.devices.shape == (2, 4)
+    rng = np.random.default_rng(3)
+
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())), state)
+    step = make_train_step(CFG, bert_params=bert_params, mesh=mesh, donate=False)
+    _, metrics = step(state, shard_batch(mesh, _fake_batch(rng, bs=16)))
+
+    step1 = make_train_step(CFG, bert_params=bert_params, donate=False)
+    state1 = create_train_state(CFG, jax.random.PRNGKey(0))
+    _, metrics1 = step1(state1, _fake_batch(np.random.default_rng(3), bs=16))
+    np.testing.assert_allclose(
+        float(metrics["full_loss"]), float(metrics1["full_loss"]), rtol=2e-4
+    )
