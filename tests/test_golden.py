@@ -1,0 +1,41 @@
+"""Golden-value regression: the full train step's loss surface is pinned.
+
+Guards the end-to-end semantics (preprocess -> encode -> TCN/L1/L2 losses
+-> Adam) against silent drift. Values were produced by this code on CPU
+f32 at a fixed seed; tolerances absorb XLA version-level float noise.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from r3m_tpu.models.r3m import R3MConfig
+from r3m_tpu.training.trainer import create_train_state, make_train_step
+
+GOLDEN_STEP1 = {
+    "full_loss": 18.42531394958496,
+    "tcnloss": 18.42071533203125,
+    "l1loss": 430.4697265625,
+    "l2loss": 29.409982681274414,
+    "l0loss": 331.3000183105469,
+    "aligned": 0.0,
+}
+GOLDEN_STEP2_LOSS = 15.997323036193848  # Adam actually descends
+
+
+def test_train_step_golden_values():
+    cfg = R3MConfig(
+        size=18, langweight=0.0, tcnweight=1.0, l1weight=1e-5,
+        l2weight=1e-5, image_size=32, compute_dtype="float32",
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(42))
+    imgs = (jnp.arange(2 * 5 * 32 * 32 * 3, dtype=jnp.float32) % 255.0).reshape(
+        2, 5, 32, 32, 3
+    )
+    step = make_train_step(cfg, doaug="none", donate=False)
+    state2, m = step(state, {"images": imgs})
+    for k, v in GOLDEN_STEP1.items():
+        np.testing.assert_allclose(float(m[k]), v, rtol=2e-4, err_msg=k)
+    _, m2 = step(state2, {"images": imgs})
+    np.testing.assert_allclose(float(m2["full_loss"]), GOLDEN_STEP2_LOSS, rtol=2e-3)
