@@ -67,3 +67,33 @@ def test_workspace_train_eval_snapshot_resume(dataset_root, tmp_path):
         assert ws2.global_step == 3
     finally:
         ws2.close()
+
+
+def test_workspace_multichip_mesh(dataset_root, tmp_path):
+    """End-to-end training over the full 8-device dp mesh (and 2 slices)."""
+    from r3m_tpu.training.workspace import Workspace
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "cfgs", "config_rep.yaml"),
+        overrides=[
+            f"datapath={dataset_root}",
+            f"log_dir={tmp_path}",
+            "batch_size=8",
+            "train_steps=2",
+            "eval_freq=1000",
+            "num_workers=2",
+            "agent.size=18",
+            "agent.langweight=0.0",
+            "compute_dtype=float32",
+            "n_devices=8",
+            "n_slices=2",
+            "snapshot=false",
+        ],
+    )
+    ws = Workspace(cfg, work_dir=str(tmp_path))
+    try:
+        assert ws.mesh is not None and ws.mesh.devices.shape == (2, 4)
+        ws.train()
+        assert ws.global_step == 2
+    finally:
+        ws.close()
