@@ -1,0 +1,64 @@
+"""Reward-model serving API: snapshot -> language-conditioned reward scores."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from r3m_tpu.checkpoint import save_snapshot, save_train_snapshot
+from r3m_tpu.models.distilbert import distilbert_init
+from r3m_tpu.models.r3m import R3MConfig
+from r3m_tpu.reward import R3MRewardModel
+from r3m_tpu.training.trainer import create_train_state
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "pick", "up", "cup", "door", "open"]
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    d = tmp_path_factory.mktemp("reward")
+    cfg = R3MConfig(size=18, langweight=1.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    snap = save_train_snapshot(str(d), state, cfg, keep_step_copy=False)
+    bert = os.path.join(d, "bert.npz")
+    save_snapshot(bert, distilbert_init(jax.random.PRNGKey(1)))
+    vocab = os.path.join(d, "vocab.txt")
+    with open(vocab, "w") as f:
+        f.write("\n".join(VOCAB) + "\n")
+    return snap, bert, vocab
+
+
+def test_reward_from_embeddings(artifacts):
+    snap, bert, vocab = artifacts
+    rm = R3MRewardModel.from_snapshot(snap, bert, vocab)
+    assert rm.cfg.size == 18 and rm.cfg.langweight == 1.0
+    e0 = jnp.zeros((2, 512)) + 0.1
+    es = jnp.zeros((2, 512)) + 0.2
+    r = rm.get_reward(e0, es, ["pick up the cup", "open the door"])
+    assert r.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(r)))
+    # different instruction -> different score (language reaches the MLP)
+    r2 = rm.get_reward(e0, es, ["open the door", "open the door"])
+    assert not np.allclose(np.asarray(r)[0], np.asarray(r2)[0])
+
+
+def test_reward_from_images(artifacts):
+    snap, bert, vocab = artifacts
+    rm = R3MRewardModel.from_snapshot(snap, bert, vocab)
+    rng = np.random.default_rng(0)
+    im0 = rng.integers(0, 255, size=(2, 3, 32, 32)).astype(np.float32)
+    imt = rng.integers(0, 255, size=(2, 3, 32, 32)).astype(np.float32)
+    r = rm(im0, imt, ["pick up the cup", "open the door"])
+    assert r.shape == (2,) and np.all(np.isfinite(np.asarray(r)))
+
+
+def test_reward_requires_language_head(artifacts, tmp_path):
+    _, bert, vocab = artifacts
+    cfg = R3MConfig(size=18, langweight=0.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    snap = save_train_snapshot(str(tmp_path), state, cfg, keep_step_copy=False)
+    with pytest.raises(ValueError, match="language head"):
+        R3MRewardModel.from_snapshot(snap, bert, vocab)
