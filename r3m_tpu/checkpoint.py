@@ -192,3 +192,41 @@ def load_torch_checkpoint(path: str, include_language: bool = False) -> Dict:
     if isinstance(payload, dict) and "global_step" in payload:
         bundle["global_step"] = int(payload["global_step"])
     return bundle
+
+
+def import_torch_snapshot_to_state(path: str, state):
+    """Seed a TrainState's weights from a reference torch snapshot.
+
+    Continues reference-trained runs on TPU: convnet params/BN stats (and
+    lang_rew when both sides have it) are imported; the Adam moments are
+    NOT transferable (torch module-state vs optax pytrees), so the
+    optimizer restarts fresh — the standard cross-framework resume
+    semantics. `global_step` is restored when the payload carries one
+    (train_representation.py:129).
+    """
+    import jax.numpy as jnp
+
+    has_lang = "lang_rew" in state.params
+    bundle = load_torch_checkpoint(path, include_language=has_lang)
+
+    def like(saved, ref):
+        ref_leaves, treedef = jax.tree_util.tree_flatten(ref)
+        saved_leaves = jax.tree_util.tree_leaves(saved)
+        if len(saved_leaves) != len(ref_leaves):
+            raise ValueError("torch snapshot / state structure mismatch")
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [jnp.asarray(s, r.dtype) for s, r in zip(saved_leaves, ref_leaves)],
+        )
+
+    params = dict(state.params)
+    params["convnet"] = like(bundle["convnet"]["params"], state.params["convnet"])
+    if has_lang:
+        if bundle.get("lang_rew") is None:
+            raise ValueError("state expects lang_rew but torch snapshot has none")
+        params["lang_rew"] = like(bundle["lang_rew"], state.params["lang_rew"])
+    return state._replace(
+        params=params,
+        batch_stats=like(bundle["convnet"]["batch_stats"], state.batch_stats),
+        step=jnp.asarray(bundle.get("global_step", 0), jnp.int32),
+    )

@@ -90,23 +90,32 @@ class Workspace:
         # ---- data ---------------------------------------------------------
         if cfg.get("dataset", "ego4d") != "ego4d":
             raise NameError("Invalid Dataset")
-        bs = int(cfg.get("batch_size", 32))
+        bs = int(cfg.get("batch_size", 32))  # GLOBAL batch size
         n_threads = int(cfg.get("num_workers", 8))
+        # Multi-host SPMD: each process feeds its shard of the global batch
+        # from a disjoint manifest shard (decorrelated seeds per host).
+        n_proc, proc = jax.process_count(), jax.process_index()
+        if bs % n_proc:
+            raise ValueError(f"batch_size={bs} not divisible by {n_proc} hosts")
+        local_bs = bs // n_proc
         print("Creating Dataloader")
         train_ds = Ego4DDataset(
             cfg["datapath"], alpha=float(cfg.get("alpha", 0.2)),
-            seed=int(cfg.get("seed", 1)),
+            seed=int(cfg.get("seed", 1)) + proc,
+            shard_index=proc, num_shards=n_proc,
         )
         val_ds = Ego4DDataset(
-            cfg["datapath"], alpha=0.0, seed=int(cfg.get("seed", 1)) + 1
+            cfg["datapath"], alpha=0.0,
+            seed=int(cfg.get("seed", 1)) + 1 + proc,
+            shard_index=proc, num_shards=n_proc,
         )
         self.train_pipe = DataPipeline(
-            FrameBatcher(train_ds, bs, n_threads=n_threads),
+            FrameBatcher(train_ds, local_bs, n_threads=n_threads),
             tokenizer=self.tokenizer,
             lang_max_len=int(cfg.get("lang_max_len", 32)),
         )
         self.val_pipe = DataPipeline(
-            FrameBatcher(val_ds, bs, n_threads=n_threads),
+            FrameBatcher(val_ds, local_bs, n_threads=n_threads),
             tokenizer=self.tokenizer,
             lang_max_len=int(cfg.get("lang_max_len", 32)),
         )
@@ -137,7 +146,14 @@ class Workspace:
         # ---- resume ---------------------------------------------------------
         if cfg.get("load_snap"):
             print("LOADING", cfg["load_snap"])
-            self.state = load_train_snapshot(cfg["load_snap"], self.state)
+            if str(cfg["load_snap"]).endswith(".pt"):
+                from r3m_tpu.checkpoint import import_torch_snapshot_to_state
+
+                self.state = import_torch_snapshot_to_state(
+                    cfg["load_snap"], self.state
+                )
+            else:
+                self.state = load_train_snapshot(cfg["load_snap"], self.state)
         else:
             rolling = os.path.join(self.work_dir, "snapshot.npz")
             if os.path.exists(rolling):
@@ -158,6 +174,15 @@ class Workspace:
     def _place(self, batch: Dict) -> Dict:
         batch = {k: v for k, v in batch.items() if k != "captions"}
         if self.mesh is not None:
+            if jax.process_count() > 1:
+                # each host contributes its local slice of the global batch
+                from r3m_tpu.parallel.mesh import batch_sharded
+
+                sh = batch_sharded(self.mesh)
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(sh, x),
+                    batch,
+                )
             return shard_batch(self.mesh, batch)
         return jax.tree_util.tree_map(jnp.asarray, batch)
 

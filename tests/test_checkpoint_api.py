@@ -137,3 +137,32 @@ def test_load_r3m_embedding_parity(fake_reference_artifacts, rng):
     )
     assert np.all(cos >= 0.999), cos  # the BASELINE.json parity bar
     np.testing.assert_allclose(emb, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_import_torch_snapshot_to_state(fake_reference_artifacts):
+    """Continue a reference-trained run on TPU: weights + step imported."""
+    import jax
+
+    from r3m_tpu.checkpoint import import_torch_snapshot_to_state
+    from r3m_tpu.models.r3m import R3MConfig
+    from r3m_tpu.training.trainer import create_train_state
+
+    tm, modelpath, _ = fake_reference_artifacts
+    # reference training snapshots carry global_step (train_repr...py:129)
+    import torch
+
+    sd = {f"module.convnet.{k}": v for k, v in tm.state_dict().items()}
+    snap = modelpath.replace("model.pt", "snapshot.pt")
+    torch.save({"r3m": sd, "global_step": 1234}, snap)
+
+    cfg = R3MConfig(size=18, langweight=0.0)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state2 = import_torch_snapshot_to_state(snap, state)
+    assert int(state2.step) == 1234
+    got = np.asarray(state2.params["convnet"]["conv1"]["w"])
+    want = tm.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    bn_mean = np.asarray(state2.batch_stats["bn1"]["mean"])
+    np.testing.assert_allclose(
+        bn_mean, tm.state_dict()["bn1.running_mean"].numpy(), rtol=1e-6
+    )
