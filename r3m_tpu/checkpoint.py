@@ -133,6 +133,27 @@ def save_train_snapshot(work_dir: str, state, cfg=None, keep_step_copy=True) -> 
     return rolling
 
 
+def restore_like(saved, ref):
+    """Rebuild `saved` with `ref`'s pytree structure and dtypes.
+
+    NamedTuples (e.g. optax's ScaleByAdamState) serialize as plain lists;
+    this restores them through `ref`'s treedef.
+    """
+    import jax.numpy as jnp
+
+    ref_leaves, treedef = jax.tree_util.tree_flatten(ref)
+    saved_leaves = jax.tree_util.tree_leaves(saved)
+    if len(saved_leaves) != len(ref_leaves):
+        raise ValueError(
+            f"snapshot/state leaf-count mismatch: {len(saved_leaves)} vs "
+            f"{len(ref_leaves)}"
+        )
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [jnp.asarray(s, dtype=r.dtype) for s, r in zip(saved_leaves, ref_leaves)],
+    )
+
+
 def load_train_snapshot(path: str, state):
     """Restore a TrainState from a snapshot, preserving pytree dtypes."""
     from r3m_tpu.training.trainer import TrainState
@@ -140,24 +161,6 @@ def load_train_snapshot(path: str, state):
 
     tree, meta = load_snapshot(path)
     step = int(meta.get("global_step", 0))
-
-    def restore_like(saved, ref):
-        """Rebuild with `ref`'s pytree structure (NamedTuples like optax's
-        ScaleByAdamState serialize as plain lists) and dtypes."""
-        ref_leaves, treedef = jax.tree_util.tree_flatten(ref)
-        saved_leaves = jax.tree_util.tree_leaves(saved)
-        if len(saved_leaves) != len(ref_leaves):
-            raise ValueError(
-                f"snapshot/state leaf-count mismatch: {len(saved_leaves)} vs "
-                f"{len(ref_leaves)}"
-            )
-        return jax.tree_util.tree_unflatten(
-            treedef,
-            [
-                jnp.asarray(s, dtype=r.dtype)
-                for s, r in zip(saved_leaves, ref_leaves)
-            ],
-        )
 
     return TrainState(
         params=restore_like(tree["params"], state.params),
@@ -209,24 +212,20 @@ def import_torch_snapshot_to_state(path: str, state):
     has_lang = "lang_rew" in state.params
     bundle = load_torch_checkpoint(path, include_language=has_lang)
 
-    def like(saved, ref):
-        ref_leaves, treedef = jax.tree_util.tree_flatten(ref)
-        saved_leaves = jax.tree_util.tree_leaves(saved)
-        if len(saved_leaves) != len(ref_leaves):
-            raise ValueError("torch snapshot / state structure mismatch")
-        return jax.tree_util.tree_unflatten(
-            treedef,
-            [jnp.asarray(s, r.dtype) for s, r in zip(saved_leaves, ref_leaves)],
-        )
-
     params = dict(state.params)
-    params["convnet"] = like(bundle["convnet"]["params"], state.params["convnet"])
+    params["convnet"] = restore_like(
+        bundle["convnet"]["params"], state.params["convnet"]
+    )
     if has_lang:
         if bundle.get("lang_rew") is None:
             raise ValueError("state expects lang_rew but torch snapshot has none")
-        params["lang_rew"] = like(bundle["lang_rew"], state.params["lang_rew"])
+        params["lang_rew"] = restore_like(
+            bundle["lang_rew"], state.params["lang_rew"]
+        )
     return state._replace(
         params=params,
-        batch_stats=like(bundle["convnet"]["batch_stats"], state.batch_stats),
+        batch_stats=restore_like(
+            bundle["convnet"]["batch_stats"], state.batch_stats
+        ),
         step=jnp.asarray(bundle.get("global_step", 0), jnp.int32),
     )

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from r3m_tpu.checkpoint import (
+    import_torch_snapshot_to_state,
     load_snapshot,
     load_train_snapshot,
     save_train_snapshot,
@@ -31,7 +32,12 @@ from r3m_tpu.checkpoint import (
 from r3m_tpu.data.ego4d import Ego4DDataset, FrameBatcher
 from r3m_tpu.data.pipeline import DataPipeline
 from r3m_tpu.models.r3m import R3MConfig
-from r3m_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from r3m_tpu.parallel.mesh import (
+    batch_sharded,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from r3m_tpu.training.trainer import (
     create_train_state,
     make_eval_step,
@@ -61,11 +67,16 @@ class Workspace:
         print(f"workspace: {self.work_dir}")
         self.cfg = cfg
         self.key = set_seed_everywhere(int(cfg.get("seed", 1)))
+        # Multi-host: only the lead process touches shared storage (snapshot
+        # files, CSV/wandb sinks) — others would interleave writes to the
+        # same paths on a shared filesystem.
+        self.is_lead = jax.process_index() == 0
         self.logger = Logger(
             cfg.get("log_dir") or self.work_dir,
-            use_tb=bool(cfg.get("use_tb", False)),
-            use_wandb=bool(cfg.get("use_wandb", False)),
+            use_tb=bool(cfg.get("use_tb", False)) and self.is_lead,
+            use_wandb=bool(cfg.get("use_wandb", False)) and self.is_lead,
             cfg=dict(cfg),
+            enabled=self.is_lead,
         )
 
         # ---- model config -------------------------------------------------
@@ -147,8 +158,6 @@ class Workspace:
         if cfg.get("load_snap"):
             print("LOADING", cfg["load_snap"])
             if str(cfg["load_snap"]).endswith(".pt"):
-                from r3m_tpu.checkpoint import import_torch_snapshot_to_state
-
                 self.state = import_torch_snapshot_to_state(
                     cfg["load_snap"], self.state
                 )
@@ -176,8 +185,6 @@ class Workspace:
         if self.mesh is not None:
             if jax.process_count() > 1:
                 # each host contributes its local slice of the global batch
-                from r3m_tpu.parallel.mesh import batch_sharded
-
                 sh = batch_sharded(self.mesh)
                 return jax.tree_util.tree_map(
                     lambda x: jax.make_array_from_process_local_data(sh, x),
@@ -198,7 +205,10 @@ class Workspace:
         # tunneled TPUs) and the device pipeline stays deep.
         flush_n = int(cfg.get("metric_flush", 10))
         prof_dir = cfg.get("profile_dir") or ""
-        prof_start, prof_n = 10, int(cfg.get("profile_steps", 5))
+        # trace steps [resume+10, resume+10+profile_steps) — relative, so
+        # resumed runs (load_snap / auto-resume) still capture a trace
+        prof_start = self.global_step + 10
+        prof_n = int(cfg.get("profile_steps", 5))
         pending = []  # [(step, device metrics dict, sample_s, update_s)]
         while until(self.global_step):
             if prof_dir and self.global_step == prof_start:
@@ -236,7 +246,7 @@ class Workspace:
                 self.logger.log_metrics(emetrics, step, ty="eval")
                 self.logger.dump(step, ty="eval")
                 print("EVAL", step, emetrics)
-                if cfg.get("snapshot", True):
+                if cfg.get("snapshot", True) and self.is_lead:
                     self.save_snapshot()
         self._flush_train_metrics(pending)
         self.logger.dump(self.global_step)

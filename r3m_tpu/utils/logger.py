@@ -124,7 +124,13 @@ class Logger:
         use_tb: bool = False,
         use_wandb: bool = False,
         cfg: Optional[dict] = None,
+        enabled: bool = True,
     ):
+        """`enabled=False` makes every sink a no-op — used by non-lead hosts
+        in multi-process runs so shared-filesystem CSVs aren't interleaved."""
+        self._enabled = enabled
+        if not enabled:
+            use_tb = use_wandb = False
         self._log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._train_mg = MetersGroup(
@@ -157,6 +163,8 @@ class Logger:
                 print(f"[logger] tensorboard disabled: {e}")
 
     def log_metrics(self, metrics: Dict[str, float], step: int, ty: str):
+        if not self._enabled:
+            return
         mg = self._train_mg if ty == "train" else self._eval_mg
         for key, value in metrics.items():
             v = float(value)
@@ -167,6 +175,8 @@ class Logger:
                 self._tb.add_scalar(f"{ty}/{key}", v, step)
 
     def dump(self, step: int, ty: Optional[str] = None):
+        if not self._enabled:
+            return
         if ty is None or ty == "train":
             self._train_mg.dump(step, "train")
         if ty is None or ty == "eval":

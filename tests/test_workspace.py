@@ -97,3 +97,38 @@ def test_workspace_multichip_mesh(dataset_root, tmp_path):
         assert ws.global_step == 2
     finally:
         ws.close()
+
+
+def test_workspace_multihost_input_wiring(dataset_root, tmp_path, monkeypatch):
+    """Mocked 2-process run: local batch slicing, manifest sharding, lead-only
+    logging/snapshots."""
+    import jax
+
+    import r3m_tpu.training.workspace as ws_mod
+    from r3m_tpu.training.workspace import Workspace
+
+    monkeypatch.setattr(ws_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(ws_mod.jax, "process_index", lambda: 1)
+
+    cfg = _base_cfg(dataset_root, tmp_path / "mh")
+    ws = Workspace(cfg, work_dir=str(tmp_path / "mh"))
+    try:
+        # global batch 4 -> 2 per host; manifests disjointly sharded
+        assert ws.train_pipe.batcher.batch_size == 2
+        assert len(ws.train_pipe.batcher.dataset) == 2  # 4 videos / 2 hosts
+        # non-lead host: logger no-ops, no CSV files created
+        assert ws.is_lead is False
+        ws.logger.log_metrics({"full_loss": 1.0}, 0, ty="train")
+        ws.logger.dump(0, ty="train")
+        assert not os.path.exists(tmp_path / "mh" / "train.csv")
+    finally:
+        ws.close()
+
+    # batch_size not divisible by hosts -> clear error
+    import pytest as _pytest
+
+    bad = _base_cfg(dataset_root, tmp_path / "mh2")
+    bad["batch_size"] = 5
+    bad.agent["bs"] = 5
+    with _pytest.raises(ValueError, match="not divisible"):
+        Workspace(bad, work_dir=str(tmp_path / "mh2"))
