@@ -122,6 +122,10 @@ def make_train_step(
     """
     if cfg.langweight > 0 and bert_params is None:
         raise ValueError("langweight > 0 requires bert_params (frozen DistilBERT)")
+    if bert_params is not None:
+        # snapshot loaders hand back numpy leaves; numpy[tracer] indexing
+        # (the embedding lookup) fails at trace time — coerce once here
+        bert_params = jax.tree_util.tree_map(jnp.asarray, bert_params)
     tx = make_optimizer(cfg)
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
@@ -186,6 +190,8 @@ def make_eval_step(
     """
     if cfg.langweight > 0 and bert_params is None:
         raise ValueError("langweight > 0 requires bert_params")
+    if bert_params is not None:
+        bert_params = jax.tree_util.tree_map(jnp.asarray, bert_params)
 
     def eval_fn(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
         bs = batch["images"].shape[0]

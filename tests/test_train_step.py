@@ -127,3 +127,13 @@ def test_multislice_dcn_mesh(bert_params):
     np.testing.assert_allclose(
         float(metrics["full_loss"]), float(metrics1["full_loss"]), rtol=2e-4
     )
+
+
+def test_bert_params_numpy_leaves(bert_params):
+    """Snapshot loaders hand back numpy pytrees — the step must accept them
+    (regression: numpy[tracer] embedding lookup failed at trace time)."""
+    np_bert = jax.tree_util.tree_map(np.asarray, bert_params)
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    step = make_train_step(CFG, bert_params=np_bert, donate=False)
+    _, metrics = step(state, _fake_batch(np.random.default_rng(5), bs=4))
+    assert np.isfinite(float(metrics["full_loss"]))
