@@ -66,6 +66,12 @@ class Workspace:
         self.work_dir = work_dir or cfg.get("log_dir") or os.getcwd()
         print(f"workspace: {self.work_dir}")
         self.cfg = cfg
+        cache_dir = cfg.get("compilation_cache_dir")
+        if cache_dir:
+            # persistent XLA compilation cache: restarts/resumes skip the
+            # (tens of seconds) train-step compile
+            jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         self.key = set_seed_everywhere(int(cfg.get("seed", 1)))
         # Multi-host: only the lead process touches shared storage (snapshot
         # files, CSV/wandb sinks) — others would interleave writes to the

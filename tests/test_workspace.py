@@ -132,3 +132,52 @@ def test_workspace_multihost_input_wiring(dataset_root, tmp_path, monkeypatch):
     bad.agent["bs"] = 5
     with _pytest.raises(ValueError, match="not divisible"):
         Workspace(bad, work_dir=str(tmp_path / "mh2"))
+
+
+def test_workspace_language_training_to_reward_model(dataset_root, tmp_path):
+    """Integration: lang-loss training -> snapshot -> reward-model serving."""
+    import jax
+
+    from r3m_tpu.checkpoint import save_snapshot
+    from r3m_tpu.models.distilbert import distilbert_init
+    from r3m_tpu.reward import R3MRewardModel
+    from r3m_tpu.training.workspace import Workspace
+
+    lang = tmp_path / "lang"
+    lang.mkdir()
+    save_snapshot(str(lang / "bert.npz"), distilbert_init(jax.random.PRNGKey(9)))
+    (lang / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "c", "opens", "the",
+                   "door", "picks", "up", "a", "cup"]) + "\n"
+    )
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "cfgs", "config_rep.yaml"),
+        overrides=[
+            f"datapath={dataset_root}",
+            f"log_dir={tmp_path}",
+            "batch_size=2",
+            "train_steps=2",
+            "eval_freq=1",
+            "num_workers=2",
+            "agent.size=18",
+            "agent.langweight=1.0",
+            "compute_dtype=float32",
+            "n_devices=1",
+            f"bert_weights={lang/'bert.npz'}",
+            f"vocab_path={lang/'vocab.txt'}",
+            "compilation_cache_dir=",
+        ],
+    )
+    ws = Workspace(cfg, work_dir=str(tmp_path))
+    try:
+        ws.train()
+    finally:
+        ws.close()
+
+    rm = R3MRewardModel.from_snapshot(
+        str(tmp_path / "snapshot.npz"), str(lang / "bert.npz"),
+        str(lang / "vocab.txt"),
+    )
+    im = np.zeros((1, 3, 64, 64), np.float32) + 127
+    r = rm(im, im + 10, ["picks up a cup"])
+    assert r.shape == (1,) and np.isfinite(float(r[0]))
