@@ -29,6 +29,10 @@ A100_BASELINE_FPS = 2500.0  # resnet50 train img/s on one A100 (see docstring)
 
 
 def main():
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser(os.environ.get("BENCH_CACHE", "~/.cache/r3m_tpu_xla")),
+    )
     from r3m_tpu.models.distilbert import distilbert_init
     from r3m_tpu.models.r3m import R3MConfig
     from r3m_tpu.training.trainer import create_train_state, make_train_step

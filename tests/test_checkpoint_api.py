@@ -166,3 +166,22 @@ def test_import_torch_snapshot_to_state(fake_reference_artifacts):
     np.testing.assert_allclose(
         bn_mean, tm.state_dict()["bn1.running_mean"].numpy(), rtol=1e-6
     )
+
+
+def test_load_r3m_uses_cache_layout(fake_reference_artifacts, tmp_path, monkeypatch):
+    """load_r3m resolves artifacts from the ~/.r3m cache without network."""
+    import shutil
+
+    from r3m_tpu import load_r3m
+
+    _, modelpath, configpath = fake_reference_artifacts
+    home = tmp_path / "r3m_home"
+    (home / "r3m_18").mkdir(parents=True)
+    shutil.copy(modelpath, home / "r3m_18" / "model.pt")
+    shutil.copy(configpath, home / "r3m_18" / "config.yaml")
+    monkeypatch.setenv("R3M_HOME", str(home))
+    model = load_r3m("resnet18")
+    assert model.outdim == 512
+
+    with pytest.raises(NameError, match="Invalid Model ID"):
+        load_r3m("resnet99")
