@@ -170,15 +170,38 @@ class Workspace:
             else:
                 self.state = load_train_snapshot(cfg["load_snap"], self.state)
         else:
-            rolling = os.path.join(self.work_dir, "snapshot.npz")
-            if os.path.exists(rolling):
-                print(f"resuming: {rolling}")
-                self.state = load_train_snapshot(rolling, self.state)
+            self.state = self._auto_resume(self.state)
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
         self._host_step = None  # lazily synced from device, then host-tracked
 
     # ------------------------------------------------------------------
+    def _auto_resume(self, state):
+        """Resume from the rolling snapshot; on a corrupt/truncated file
+        (host killed mid-eval before the atomic rename, disk hiccup) fall
+        back to the newest per-step snapshot instead of crashing.
+        """
+        import glob
+        import re
+
+        candidates = []
+        rolling = os.path.join(self.work_dir, "snapshot.npz")
+        if os.path.exists(rolling):
+            candidates.append(rolling)
+        steps = glob.glob(os.path.join(self.work_dir, "snapshot_*.npz"))
+        steps.sort(
+            key=lambda p: int(re.search(r"snapshot_(\d+)", p).group(1)),
+            reverse=True,
+        )
+        candidates.extend(steps)
+        for path in candidates:
+            try:
+                print(f"resuming: {path}")
+                return load_train_snapshot(path, state)
+            except Exception as e:
+                print(f"[resume] {path} unusable ({type(e).__name__}: {e})")
+        return state
+
     @property
     def global_step(self) -> int:
         """Host-mirrored step counter (no device round-trip in the hot loop)."""

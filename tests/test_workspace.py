@@ -181,3 +181,27 @@ def test_workspace_language_training_to_reward_model(dataset_root, tmp_path):
     im = np.zeros((1, 3, 64, 64), np.float32) + 127
     r = rm(im, im + 10, ["picks up a cup"])
     assert r.shape == (1,) and np.isfinite(float(r[0]))
+
+
+def test_resume_falls_back_on_corrupt_rolling_snapshot(dataset_root, tmp_path):
+    """A truncated rolling snapshot must not kill auto-resume."""
+    from r3m_tpu.training.workspace import Workspace
+
+    work = tmp_path / "crash"
+    work.mkdir()
+    cfg = _base_cfg(dataset_root, tmp_path)
+    ws = Workspace(cfg, work_dir=str(work))
+    try:
+        ws.train()  # 3 steps, snapshots at eval steps
+    finally:
+        ws.close()
+    assert os.path.exists(work / "snapshot.npz")
+    # simulate a crash mid-write: truncate the rolling file
+    with open(work / "snapshot.npz", "wb") as f:
+        f.write(b"\x00" * 100)
+
+    ws2 = Workspace(cfg, work_dir=str(work))
+    try:
+        assert ws2.global_step > 0  # recovered from snapshot_{step}.npz
+    finally:
+        ws2.close()
