@@ -216,7 +216,160 @@ struct Decoder {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Prefetch pipeline: C++ owns sample-batch assembly end to end. Python
+// submits path lists (a batch each); a thread pool decodes them into a ring
+// of reusable staging buffers; fetch() hands back completed batches in
+// submit order. Replaces the Python producer thread of the host pipeline —
+// no GIL involvement between submit and fetch, and multiple batches decode
+// concurrently (depth-bounded backpressure).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Batch {
+  int64_t seq;
+  std::vector<uint8_t> buf;
+  int failed;
+};
+
+struct Pipeline {
+  Pipeline(int n_threads, int frames, int h, int w, int depth)
+      : pool(n_threads), frames(frames), H(h), W(w), depth(depth) {}
+
+  ThreadPool pool;
+  const int frames, H, W, depth;
+
+  std::mutex mu;
+  std::condition_variable cv;
+  int64_t next_submit_seq = 0;
+  int64_t next_fetch_seq = 0;
+  int in_flight = 0;                    // submitted, not yet fetched
+  std::vector<Batch> ready;             // completed, unfetched batches
+  std::vector<std::vector<uint8_t>> free_bufs;  // staging buffer pool
+  bool stopping = false;
+};
+
+struct BatchJob {
+  Pipeline* p;
+  int64_t seq;
+  std::vector<std::string> paths;
+  std::vector<uint8_t> buf;
+  std::atomic<int> remaining;
+  std::atomic<int> failed{0};
+};
+
+}  // namespace
+
 extern "C" {
+
+void* r3m_pipeline_create(int n_threads, int batch_frames, int H, int W,
+                          int depth) {
+  if (n_threads < 1) n_threads = 1;
+  if (depth < 1) depth = 1;
+  return new Pipeline(n_threads, batch_frames, H, W, depth);
+}
+
+void r3m_pipeline_destroy(void* handle) {
+  Pipeline* p = static_cast<Pipeline*>(handle);
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->stopping = true;
+    // wait for in-flight decodes so jobs don't touch a freed Pipeline
+    p->cv.wait(lk, [&] {
+      return p->in_flight == static_cast<int>(p->ready.size());
+    });
+  }
+  delete p;
+}
+
+// Submit one batch of `n` frame paths (n must equal batch_frames).
+// Blocks while `depth` batches are already in flight (backpressure).
+// Returns 0 on success, -1 on bad n.
+int r3m_pipeline_submit(void* handle, const char** paths, int n) {
+  Pipeline* p = static_cast<Pipeline*>(handle);
+  if (n != p->frames) return -1;
+
+  auto* job = new BatchJob();
+  job->p = p;
+  job->paths.reserve(n);
+  for (int i = 0; i < n; ++i) job->paths.emplace_back(paths[i]);
+  job->remaining.store(n);
+
+  const size_t frame = static_cast<size_t>(p->H) * p->W * 3;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv.wait(lk, [&] { return p->in_flight < p->depth || p->stopping; });
+    if (p->stopping) {
+      delete job;
+      return -2;
+    }
+    job->seq = p->next_submit_seq++;
+    p->in_flight += 1;
+    if (!p->free_bufs.empty()) {
+      job->buf = std::move(p->free_bufs.back());
+      p->free_bufs.pop_back();
+    }
+  }
+  job->buf.resize(frame * n);
+
+  for (int i = 0; i < n; ++i) {
+    p->pool.submit([job, i, frame] {
+      Pipeline* p = job->p;
+      uint8_t* dst = job->buf.data() + frame * i;
+      if (!decode_file(job->paths[i].c_str(), dst, p->H, p->W)) {
+        std::memset(dst, 0, frame);
+        job->failed.fetch_add(1);
+      }
+      if (job->remaining.fetch_sub(1) == 1) {  // last frame of the batch
+        std::unique_lock<std::mutex> lk(p->mu);
+        p->ready.push_back(
+            Batch{job->seq, std::move(job->buf), job->failed.load()});
+        lk.unlock();
+        p->cv.notify_all();
+        delete job;
+      }
+    });
+  }
+  return 0;
+}
+
+// Copy the NEXT batch (submit order) into out. Blocks until ready.
+// Returns the number of failed frames (>= 0), or -1 if nothing in flight.
+int r3m_pipeline_fetch(void* handle, uint8_t* out) {
+  Pipeline* p = static_cast<Pipeline*>(handle);
+  std::vector<uint8_t> buf;
+  int failed = 0;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    if (p->next_fetch_seq >= p->next_submit_seq) return -1;
+    const int64_t want = p->next_fetch_seq;
+    p->cv.wait(lk, [&] {
+      for (auto& b : p->ready)
+        if (b.seq == want) return true;
+      return false;
+    });
+    for (size_t i = 0; i < p->ready.size(); ++i) {
+      if (p->ready[i].seq == want) {
+        buf = std::move(p->ready[i].buf);
+        failed = p->ready[i].failed;
+        p->ready.erase(p->ready.begin() + i);
+        break;
+      }
+    }
+    p->next_fetch_seq += 1;
+    p->in_flight -= 1;
+  }
+  std::memcpy(out, buf.data(),
+              static_cast<size_t>(p->frames) * p->H * p->W * 3);
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    if (p->free_bufs.size() < static_cast<size_t>(p->depth))
+      p->free_bufs.push_back(std::move(buf));
+  }
+  p->cv.notify_all();
+  return failed;
+}
 
 void* r3m_decoder_create(int n_threads) {
   if (n_threads < 1) n_threads = 1;

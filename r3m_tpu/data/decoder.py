@@ -46,6 +46,21 @@ def _load_library(auto_build: bool = True):
         ctypes.c_int,
         ctypes.c_int,
     ]
+    if hasattr(lib, "r3m_pipeline_create"):
+        lib.r3m_pipeline_create.restype = ctypes.c_void_p
+        lib.r3m_pipeline_create.argtypes = [ctypes.c_int] * 5
+        lib.r3m_pipeline_destroy.argtypes = [ctypes.c_void_p]
+        lib.r3m_pipeline_submit.restype = ctypes.c_int
+        lib.r3m_pipeline_submit.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+        ]
+        lib.r3m_pipeline_fetch.restype = ctypes.c_int
+        lib.r3m_pipeline_fetch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
     return lib
 
 
@@ -104,3 +119,74 @@ class JpegDecoder:
         if getattr(self, "_handle", None) is not None and self._lib is not None:
             self._lib.r3m_decoder_destroy(self._handle)
             self._handle = None
+
+
+class NativeFramePipeline:
+    """Fully native prefetch pipeline: C++ owns decode + batch assembly.
+
+    Drop-in for `r3m_tpu.data.ego4d.FrameBatcher` (same `next_batch()`
+    surface): `depth` batches of frame paths are submitted ahead; a C++
+    thread pool decodes them concurrently into a staging-buffer ring, and
+    `next_batch()` copies out the next completed batch in submit order —
+    zero Python-thread involvement between submit and fetch. Captions ride
+    a host-side queue parallel to the sequence order.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        height: int = 224,
+        width: int = 224,
+        n_threads: Optional[int] = None,
+        depth: int = 3,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.height, self.width = height, width
+        if n_threads is None:
+            n_threads = max(1, (os.cpu_count() or 1))
+        lib = _load_library()
+        if lib is None or not hasattr(lib, "r3m_pipeline_create"):
+            raise RuntimeError(
+                "native pipeline unavailable — build with `make -C csrc`"
+            )
+        self._lib = lib
+        self._frames = batch_size * 5
+        self._handle = lib.r3m_pipeline_create(
+            n_threads, self._frames, height, width, depth
+        )
+        self._buf = np.empty(
+            (self._frames, height, width, 3), dtype=np.uint8
+        )
+        self._captions: "list[List[str]]" = []
+        for _ in range(depth):
+            self._submit_one()
+
+    def _submit_one(self):
+        paths, captions = self.dataset.sample_batch(self.batch_size)
+        arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        rc = self._lib.r3m_pipeline_submit(self._handle, arr, len(paths))
+        if rc != 0:
+            raise RuntimeError(f"pipeline submit failed (rc={rc})")
+        self._captions.append(captions)
+
+    def next_batch(self):
+        """-> ([B, 5, H, W, 3] uint8, captions). Blocks on the C++ ring."""
+        failed = self._lib.r3m_pipeline_fetch(
+            self._handle, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if failed < 0:
+            raise RuntimeError("pipeline fetch with nothing in flight")
+        captions = self._captions.pop(0)
+        clips = self._buf.reshape(self.batch_size, 5, self.height, self.width, 3)
+        self._submit_one()  # keep the ring full
+        return clips, captions
+
+    def close(self):
+        if getattr(self, "_handle", None) is not None:
+            self._lib.r3m_pipeline_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        self.close()

@@ -90,6 +90,8 @@ class DataPipeline:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        if hasattr(self.batcher, "close"):
+            self.batcher.close()
 
     def __enter__(self):
         return self

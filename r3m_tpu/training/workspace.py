@@ -126,13 +126,23 @@ class Workspace:
             seed=int(cfg.get("seed", 1)) + 1 + proc,
             shard_index=proc, num_shards=n_proc,
         )
+        def make_batcher(ds):
+            if bool(cfg.get("native_pipeline", True)):
+                try:
+                    from r3m_tpu.data.decoder import NativeFramePipeline
+
+                    return NativeFramePipeline(ds, local_bs, n_threads=n_threads)
+                except RuntimeError as e:  # .so not built — Python fallback
+                    print(f"[data] native pipeline unavailable ({e})")
+            return FrameBatcher(ds, local_bs, n_threads=n_threads)
+
         self.train_pipe = DataPipeline(
-            FrameBatcher(train_ds, local_bs, n_threads=n_threads),
+            make_batcher(train_ds),
             tokenizer=self.tokenizer,
             lang_max_len=int(cfg.get("lang_max_len", 32)),
         )
         self.val_pipe = DataPipeline(
-            FrameBatcher(val_ds, local_bs, n_threads=n_threads),
+            make_batcher(val_ds),
             tokenizer=self.tokenizer,
             lang_max_len=int(cfg.get("lang_max_len", 32)),
         )
