@@ -98,6 +98,8 @@ def load_r3m_reproduce(modelid: str) -> R3MEncoder:
 
 def load_r3m_from_files(modelpath: str, configpath: str = None) -> R3MEncoder:
     """Load from explicit artifact paths (offline hosts, local snapshots)."""
+    if modelpath.endswith(".npz"):
+        return load_r3m_from_snapshot(modelpath)
     if configpath is not None:
         return _load_from_artifacts(modelpath, configpath)
     from r3m_tpu.checkpoint import load_torch_checkpoint
@@ -108,4 +110,26 @@ def load_r3m_from_files(modelpath: str, configpath: str = None) -> R3MEncoder:
         cfg,
         params={"convnet": bundle["convnet"]["params"]},
         batch_stats=bundle["convnet"]["batch_stats"],
+    )
+
+
+def load_r3m_from_snapshot(path: str) -> R3MEncoder:
+    """Embedding inference from a NATIVE training snapshot (.npz).
+
+    The architecture comes from the snapshot's config metadata; the
+    language head (if any) is dropped — same downstream-use semantics as
+    `load_r3m` (cleanup_config forces langweight=0, r3m/__init__.py:30).
+    """
+    from r3m_tpu.checkpoint import load_snapshot
+
+    tree, meta = load_snapshot(path)
+    cfg_dict = dict(meta.get("config") or {})
+    cfg_dict["langweight"] = 0
+    cfg = R3MConfig(
+        **{k: v for k, v in cfg_dict.items() if k in R3MConfig.__dataclass_fields__}
+    )
+    return R3MEncoder(
+        cfg,
+        params={"convnet": tree["params"]["convnet"]},
+        batch_stats=tree.get("batch_stats", {}),
     )

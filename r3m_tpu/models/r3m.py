@@ -122,7 +122,10 @@ def r3m_embed(
     if cfg.size == 0:
         from r3m_tpu.models.vit import vit_b32_apply
 
-        feats = vit_b32_apply(params["convnet"], x, precision=precision)
+        feats = vit_b32_apply(
+            params["convnet"], x, precision=precision,
+            compute_dtype=cfg.jnp_compute_dtype,
+        )
         return feats, batch_stats
     feats, new_stats = resnet_apply(
         params["convnet"],

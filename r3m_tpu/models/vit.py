@@ -87,16 +87,23 @@ def vit_b32_init(key: jax.Array, cfg: ViTConfig = B32) -> Pytree:
 
 
 def _layer_norm(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # statistics in f32 regardless of compute dtype; output in x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 def _dense(x, p, precision=None):
-    return (
-        jnp.dot(x, p["w"], precision=precision, preferred_element_type=jnp.float32)
-        + p["b"]
-    )
+    # params live in f32; compute in x.dtype (MXU bf16 fast path), f32 accum
+    out = jnp.dot(
+        x,
+        p["w"].astype(x.dtype),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    ) + p["b"]
+    return out.astype(x.dtype)
 
 
 def vit_b32_apply(
@@ -104,8 +111,16 @@ def vit_b32_apply(
     x: jax.Array,
     cfg: ViTConfig = B32,
     precision=None,
+    compute_dtype=None,
 ) -> jax.Array:
-    """NHWC normalized images -> [B, dim] pooled embedding (HF pooler_output)."""
+    """NHWC normalized images -> [B, dim] pooled embedding (HF pooler_output).
+
+    `compute_dtype=jnp.bfloat16` runs matmuls/attention in bf16 on the MXU
+    (params stay f32; LayerNorm statistics and softmax accumulate f32 via
+    preferred_element_type). Output is always f32.
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     b = x.shape[0]
     patches = jax.lax.conv_general_dilated(
         x,
@@ -115,10 +130,10 @@ def vit_b32_apply(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
     )
-    patches = patches + params["patch"]["b"]
+    patches = patches + params["patch"]["b"].astype(x.dtype)
     tokens = jnp.reshape(patches, (b, -1, cfg.dim))  # row-major patch order (HF)
     cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.dim)).astype(tokens.dtype)
-    h = jnp.concatenate([cls, tokens], axis=1) + params["pos"]
+    h = jnp.concatenate([cls, tokens], axis=1) + params["pos"].astype(x.dtype)
 
     head_dim = cfg.dim // cfg.n_heads
     t = h.shape[1]
@@ -131,18 +146,19 @@ def vit_b32_apply(
             "bqhd,bkhd->bhqk", q, k, precision=precision,
             preferred_element_type=jnp.float32,
         ) / np.sqrt(head_dim)
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         ctx = jnp.einsum(
             "bhqk,bkhd->bqhd", probs, v, precision=precision,
             preferred_element_type=jnp.float32,
-        ).reshape(b, t, cfg.dim)
+        ).astype(v.dtype).reshape(b, t, cfg.dim)
         h = h + _dense(ctx, layer["o"], precision)
         y = _layer_norm(h, layer["ln2"], cfg.layer_norm_eps)
         y = jax.nn.gelu(_dense(y, layer["lin1"], precision), approximate=False)
         h = h + _dense(y, layer["lin2"], precision)
 
     h = _layer_norm(h, params["final_ln"], cfg.layer_norm_eps)
-    return jnp.tanh(_dense(h[:, 0], params["pooler"], precision))
+    pooled = jnp.tanh(_dense(h[:, 0], params["pooler"], precision))
+    return pooled.astype(jnp.float32)
 
 
 def convert_vit(sd, cfg: ViTConfig = B32) -> Pytree:

@@ -185,3 +185,22 @@ def test_load_r3m_uses_cache_layout(fake_reference_artifacts, tmp_path, monkeypa
 
     with pytest.raises(NameError, match="Invalid Model ID"):
         load_r3m("resnet99")
+
+
+def test_load_r3m_from_native_snapshot(tmp_path):
+    """Embedding inference from our own training snapshots (.npz)."""
+    import jax
+
+    from r3m_tpu import load_r3m_from_files
+    from r3m_tpu.checkpoint import save_train_snapshot
+    from r3m_tpu.models.r3m import R3MConfig
+    from r3m_tpu.training.trainer import create_train_state
+
+    cfg = R3MConfig(size=18, langweight=1.0)  # lang head present in snapshot
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    snap = save_train_snapshot(str(tmp_path), state, cfg, keep_step_copy=False)
+
+    model = load_r3m_from_files(snap)
+    assert model.cfg.langweight == 0  # dropped for downstream use
+    emb = model(np.zeros((1, 3, 64, 64), np.float32) + 50)
+    assert emb.shape == (1, 512)
