@@ -40,8 +40,9 @@ def main():
     bs = int(os.environ.get("BENCH_BS", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    size = int(os.environ.get("BENCH_SIZE", "50"))  # 18|34|50|0 (ViT-B/32)
     cfg = R3MConfig(
-        size=50,
+        size=size,
         langweight=1.0,
         tcnweight=1.0,
         l1weight=1e-5,
@@ -82,7 +83,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "r3m_pretrain_resnet50_frames_per_sec_per_chip",
+                "metric": (
+                    "r3m_pretrain_resnet50_frames_per_sec_per_chip"
+                    if size == 50
+                    else f"r3m_pretrain_size{size}_frames_per_sec_per_chip"
+                ),
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
