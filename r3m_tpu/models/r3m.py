@@ -234,10 +234,22 @@ class R3MEncoder:
     def outdim(self) -> int:
         return self.cfg.out_dim
 
-    def __call__(self, obs) -> jax.Array:
+    def __call__(self, obs, num_ims: int = 1, obs_shape=None) -> jax.Array:
+        """NCHW [0,255] images -> [B, out_dim]. `num_ims`/`obs_shape` are
+        accepted for reference-signature compatibility (models_r3m.py:84)
+        — shape handling here is automatic."""
         obs = jnp.asarray(np.asarray(obs))
         if obs.ndim == 3:
             obs = obs[None]
+        if obs.ndim != 4 or obs.shape[1] != 3:
+            hint = (
+                " (input looks channels-last — this API takes torch NCHW layout)"
+                if obs.ndim == 4 and obs.shape[-1] == 3
+                else ""
+            )
+            raise ValueError(
+                f"expected NCHW [B, 3, H, W] images, got {tuple(obs.shape)}{hint}"
+            )
         return self._fwd(self.params, self.batch_stats, obs)
 
     def eval(self):  # torch-API compat no-ops

@@ -128,3 +128,20 @@ def schedule(schdl, step: int) -> float:
         mix = float(np.clip((step - duration1) / duration2, 0.0, 1.0))
         return (1.0 - mix) * final1 + mix * final2
     raise NotImplementedError(schdl)
+
+
+class eval_mode:
+    """API-parity shim for the reference's `eval_mode` context
+    (utils.py:18-31). Functional JAX models have no global train/eval
+    switch — mode is an explicit `train=` argument — so entering this
+    context is a no-op; it exists so reference-style call sites port
+    cleanly."""
+
+    def __init__(self, *models):
+        self.models = models
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        return False

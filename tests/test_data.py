@@ -81,3 +81,17 @@ def test_pipeline_and_train_slice(dataset_root):
             state, metrics = step(state, batch)
             losses.append(float(metrics["full_loss"]))
     assert all(np.isfinite(losses))
+
+
+def test_encoder_rejects_channels_last(rng):
+    import jax
+    import pytest
+
+    from r3m_tpu.models.r3m import R3MConfig, R3MEncoder, r3m_init
+
+    cfg = R3MConfig(size=18)
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+    enc = R3MEncoder(cfg, state["params"], state["batch_stats"])
+    bad = rng.integers(0, 255, size=(2, 64, 64, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="channels-last"):
+        enc(bad)
