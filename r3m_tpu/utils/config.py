@@ -49,6 +49,14 @@ class Config(dict):
             node = node.setdefault(p, {})
         node[parts[-1]] = value
 
+    def has_path(self, path: str) -> bool:
+        node: Any = self
+        for p in path.split("."):
+            if not isinstance(node, dict) or p not in node:
+                return False
+            node = node[p]
+        return True
+
 
 def _parse_value(text: str) -> Any:
     """YAML-typed scalar parse ('1e-4' -> float, 'true' -> bool, ...)."""
@@ -89,7 +97,16 @@ def load_config(
         if "=" not in ov:
             raise ValueError(f"override must be key=value: {ov!r}")
         key, val = ov.split("=", 1)
-        c.set_path(key.strip(), _parse_value(val))
+        key = key.strip()
+        # Hydra-strict semantics: overriding an unknown key is an error
+        # (catches silent typos like `batch_sise=4`); `+key=value` adds.
+        if key.startswith("+"):
+            key = key[1:]
+        elif path is not None and not c.has_path(key):
+            raise KeyError(
+                f"unknown config key {key!r} (use +{key}=... to add a new key)"
+            )
+        c.set_path(key, _parse_value(val))
     resolved = _resolve(dict(c), dict(c))
     return Config(resolved)
 

@@ -205,3 +205,16 @@ def test_resume_falls_back_on_corrupt_rolling_snapshot(dataset_root, tmp_path):
         assert ws2.global_step > 0  # recovered from snapshot_{step}.npz
     finally:
         ws2.close()
+
+
+def test_config_override_typo_rejected(dataset_root, tmp_path):
+    cfg_path = os.path.join(
+        os.path.dirname(__file__), "..", "cfgs", "config_rep.yaml"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="batch_sise"):
+        load_config(cfg_path, overrides=["batch_sise=4"])
+    # explicit additions are allowed with '+'
+    cfg = load_config(cfg_path, overrides=["+my_extra=7"])
+    assert cfg["my_extra"] == 7
