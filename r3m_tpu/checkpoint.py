@@ -40,9 +40,13 @@ _META_KEY = "__meta__"
 def _flatten(tree: Pytree, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
+        if not tree:  # empty containers must round-trip (ViT batch_stats={})
+            out[prefix + "e:"] = np.zeros((0,))
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}d:{k}/"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            out[prefix + "E:"] = np.zeros((0,))
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}l:{i}/"))
     elif tree is None:
@@ -69,6 +73,10 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Pytree:
             (k, v), = node.items()
             if k == "a:" or k == "n:":
                 return v
+            if k == "e:":  # empty-dict marker
+                return {}
+            if k == "E:":  # empty-list marker
+                return []
         if all(k.startswith("l:") for k in node):
             items = sorted(node.items(), key=lambda kv: int(kv[0][2:]))
             return [build(v) for _, v in items]

@@ -19,6 +19,26 @@ import numpy as np
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libr3m_decoder.so")
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 
+_warned_batches = 0
+
+
+def _warn_failed(failed: int, n: int, limit: int = 20) -> None:
+    """Surface decode failures (zero-filled frames) — rate-limited.
+
+    Failed frames are zero-filled rather than fatal (a single corrupt JPEG
+    must not kill a week-long pretrain), but silence would hide bad
+    manifests (e.g. `len` exceeding the real frame count), so every failing
+    batch warns until the limit.
+    """
+    global _warned_batches
+    if failed > 0 and _warned_batches < limit:
+        _warned_batches += 1
+        print(
+            f"[decoder] {failed}/{n} frames failed to decode (zero-filled) "
+            f"— check manifest lengths / JPEG integrity"
+            + (" [further warnings suppressed]" if _warned_batches == limit else "")
+        )
+
 
 def _load_library(auto_build: bool = True):
     if not os.path.exists(_LIB_PATH) and auto_build and os.path.isdir(_SRC_DIR):
@@ -90,7 +110,7 @@ class JpegDecoder:
         assert out.shape == (n, self.height, self.width, 3) and out.dtype == np.uint8
         if self._handle is not None:
             arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-            self._lib.r3m_decode_batch(
+            failed = self._lib.r3m_decode_batch(
                 self._handle,
                 arr,
                 n,
@@ -98,12 +118,14 @@ class JpegDecoder:
                 self.height,
                 self.width,
             )
+            _warn_failed(failed, n)
             return out
         return self._decode_batch_pil(paths, out)
 
     def _decode_batch_pil(self, paths: Sequence[str], out: np.ndarray) -> np.ndarray:
         from PIL import Image
 
+        failed = 0
         for i, p in enumerate(paths):
             try:
                 with Image.open(p) as im:
@@ -113,6 +135,8 @@ class JpegDecoder:
                     out[i] = np.asarray(im)
             except Exception:
                 out[i] = 0
+                failed += 1
+        _warn_failed(failed, len(paths))
         return out
 
     def __del__(self):
@@ -178,6 +202,7 @@ class NativeFramePipeline:
         )
         if failed < 0:
             raise RuntimeError("pipeline fetch with nothing in flight")
+        _warn_failed(failed, self._frames)
         captions = self._captions.pop(0)
         clips = self._buf.reshape(self.batch_size, 5, self.height, self.width, 3)
         self._submit_one()  # keep the ring full

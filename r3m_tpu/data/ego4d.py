@@ -167,6 +167,11 @@ def write_synthetic_dataset(
             if captions
             else f"C person moves object {v}"
         )
+        # the txt column is consumed via txt[2:] (the Ego4D "C " narrator
+        # prefix strip, data_loaders.py:72) — ensure the prefix exists so a
+        # caller's caption survives the strip intact
+        if not cap.startswith("C "):
+            cap = "C " + cap
         rows.append({"path": vdir, "len": vlen, "txt": cap})
     pd.DataFrame(rows).to_csv(os.path.join(root, "manifest.csv"), index=False)
     return root

@@ -78,10 +78,12 @@ def ensure_artifacts(modelid: str, reproduce: bool = False) -> Tuple[str, str]:
     os.makedirs(home, exist_ok=True)
     modelpath = os.path.join(home, "model.pt")
     configpath = os.path.join(home, "config.yaml")
-    if not os.path.exists(modelpath):
+    if not os.path.exists(modelpath) or not os.path.exists(configpath):
         try:
-            _drive_download(model_id, modelpath)
-            _drive_download(config_id, configpath)
+            if not os.path.exists(modelpath):
+                _drive_download(model_id, modelpath)
+            if not os.path.exists(configpath):
+                _drive_download(config_id, configpath)
         except Exception as e:
             raise RuntimeError(
                 f"Pretrained artifacts for {modelid!r} are not cached at {home} "

@@ -153,11 +153,17 @@ def safe_l2_norm(x: jax.Array, axis: int = -1) -> jax.Array:
 
 
 def sim(cfg: R3MConfig, a: jax.Array, b: jax.Array) -> jax.Array:
-    """−L2 distance or cosine similarity over the last axis (models_r3m.py:102-107)."""
+    """−L2 distance or cosine similarity over the last axis (models_r3m.py:102-107).
+
+    Cosine clamps the norms at 1e-8 like torch.nn.CosineSimilarity(eps=1e-8)
+    — an exactly-zero embedding (possible under the L1 penalty + ReLU) must
+    yield similarity 0, not NaN.
+    """
     if cfg.l2dist:
         return -safe_l2_norm(a - b, axis=-1)
-    an = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
-    bn = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+    eps = 1e-8
+    an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), eps)
+    bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), eps)
     return jnp.sum(an * bn, axis=-1)
 
 
@@ -196,11 +202,10 @@ class R3MEncoder:
             # math, no per-layer normalize passes at inference.
             from r3m_tpu.models.resnet import fold_batchnorm, resnet_apply_folded
 
-            folded = fold_batchnorm(params["convnet"], batch_stats, cfg.size)
             mean, std = cfg.norm_stats
 
             @jax.jit
-            def _fwd(folded, obs_nchw):
+            def _fwd_folded(folded, obs_nchw):
                 obs = nchw_to_nhwc(obs_nchw)
                 x = r3m_preprocess(
                     obs, mean, std, crop_size=cfg.image_size,
@@ -211,8 +216,20 @@ class R3MEncoder:
                     precision=jax.lax.Precision.HIGHEST,
                 )
 
-            self._folded = folded
-            self._fwd = lambda p, s, obs: _fwd(self._folded, obs)
+            self._folded = fold_batchnorm(params["convnet"], batch_stats, cfg.size)
+            self._folded_src = (id(self.params), id(self.batch_stats))
+
+            def _fwd(p, s, obs):
+                # torch-style in-place weight swaps (enc.params = ...) must
+                # not serve stale folded weights — refold when identity moved
+                if (id(self.params), id(self.batch_stats)) != self._folded_src:
+                    self._folded = fold_batchnorm(
+                        self.params["convnet"], self.batch_stats, cfg.size
+                    )
+                    self._folded_src = (id(self.params), id(self.batch_stats))
+                return _fwd_folded(self._folded, obs)
+
+            self._fwd = _fwd
         else:
 
             @jax.jit

@@ -46,9 +46,11 @@ class R3MRewardModel:
                 "snapshot has no language head (trained with langweight=0?)"
             )
         self.cfg = cfg
-        self.params = params
-        self.batch_stats = batch_stats
-        self.bert_params = bert_params
+        # coerce snapshot-loaded numpy trees to device arrays ONCE — passing
+        # numpy leaves as jit args would re-upload all weights per call
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+        self.bert_params = jax.tree_util.tree_map(jnp.asarray, bert_params)
         self.tokenizer = tokenizer
         self.lang_max_len = lang_max_len
 

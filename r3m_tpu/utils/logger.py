@@ -69,10 +69,13 @@ class MetersGroup:
                     break
                 rows.append(row)
         with open(self._csv_file_name, "w", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=sorted(data.keys()), restval=0.0)
+            # old rows may carry columns the new run lacks (e.g. resumed with
+            # langweight=0 after training with 1.0) — keep only current ones
+            fieldnames = sorted(data.keys())
+            writer = csv.DictWriter(f, fieldnames=fieldnames, restval=0.0)
             writer.writeheader()
             for row in rows:
-                writer.writerow(row)
+                writer.writerow({k: row.get(k, 0.0) for k in fieldnames})
 
     def _dump_to_csv(self, data):
         if self._csv_writer is None:

@@ -204,3 +204,20 @@ def test_load_r3m_from_native_snapshot(tmp_path):
     assert model.cfg.langweight == 0  # dropped for downstream use
     emb = model(np.zeros((1, 3, 64, 64), np.float32) + 50)
     assert emb.shape == (1, 512)
+
+
+def test_vit_train_state_snapshot_roundtrip(tmp_path):
+    """Empty batch_stats ({} for ViT) must survive save/load (regression:
+    _flatten silently dropped empty containers)."""
+    import jax
+
+    from r3m_tpu.checkpoint import load_train_snapshot, save_train_snapshot
+    from r3m_tpu.models.r3m import R3MConfig
+    from r3m_tpu.training.trainer import create_train_state
+
+    cfg = R3MConfig(size=0)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    assert state.batch_stats == {}
+    snap = save_train_snapshot(str(tmp_path), state, cfg, keep_step_copy=False)
+    restored = load_train_snapshot(snap, state)
+    assert restored.batch_stats == {}

@@ -23,7 +23,7 @@ from r3m_tpu.losses import (
     tcn_loss,
 )
 from r3m_tpu.models.language_reward import language_reward_apply
-from r3m_tpu.models.r3m import R3MConfig
+from r3m_tpu.models.r3m import R3MConfig, sim
 from tests.torch_ref import TorchLanguageReward
 
 EPS = 1e-8
@@ -193,3 +193,13 @@ def test_draw_permutations_shapes_and_validity():
         flat = np.asarray(arr).reshape(-1, 8)
         for row in flat:
             assert sorted(row.tolist()) == list(range(8))
+
+
+def test_cosine_sim_zero_embedding_no_nan():
+    """torch CosineSimilarity(eps=1e-8) semantics: zero vectors give 0."""
+    cfg = R3MConfig(size=18, l2dist=False)
+    a = jnp.zeros((2, 8))
+    b = jnp.ones((2, 8))
+    s = sim(cfg, a, b)
+    assert np.all(np.isfinite(np.asarray(s)))
+    np.testing.assert_allclose(np.asarray(s), 0.0, atol=1e-6)
