@@ -57,6 +57,14 @@ class Ego4DDataset:
         if num_shards > 1:
             # host-level sharding for multi-process (multi-host) input
             manifest = manifest.iloc[shard_index::num_shards].reset_index(drop=True)
+        bad = manifest[manifest["len"] < 3]
+        if len(bad):
+            # the index law (s1 ~ U[2, len)) needs len >= 3; the reference
+            # crashes mid-training on such rows — fail fast at load instead
+            raise ValueError(
+                f"manifest rows with len < 3 cannot be sampled: "
+                f"{bad['path'].tolist()[:5]}{'...' if len(bad) > 5 else ''}"
+            )
         self.manifest = manifest
         self.alpha = alpha
         self.rng = np.random.default_rng(seed)

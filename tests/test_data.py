@@ -95,3 +95,17 @@ def test_encoder_rejects_channels_last(rng):
     bad = rng.integers(0, 255, size=(2, 64, 64, 3)).astype(np.float32)
     with pytest.raises(ValueError, match="channels-last"):
         enc(bad)
+
+
+def test_manifest_short_videos_rejected(tmp_path):
+    import pandas as pd
+    import pytest
+
+    from r3m_tpu.data.ego4d import Ego4DDataset
+
+    pd.DataFrame(
+        [{"path": "vid000", "len": 2, "txt": "C x"},
+         {"path": "vid001", "len": 10, "txt": "C y"}]
+    ).to_csv(tmp_path / "manifest.csv", index=False)
+    with pytest.raises(ValueError, match="len < 3"):
+        Ego4DDataset(str(tmp_path))
