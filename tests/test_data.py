@@ -109,3 +109,29 @@ def test_manifest_short_videos_rejected(tmp_path):
     ).to_csv(tmp_path / "manifest.csv", index=False)
     with pytest.raises(ValueError, match="len < 3"):
         Ego4DDataset(str(tmp_path))
+
+
+def test_decoder_resizes_oversized_frames(tmp_path):
+    """Non-224 source frames go through the native DCT-downscale + box
+    resize (or the PIL fallback) and land near the PIL reference."""
+    from PIL import Image
+
+    from r3m_tpu.data.decoder import JpegDecoder
+
+    rng2 = np.random.default_rng(3)
+    # smooth image => resize comparison is meaningful despite JPEG loss
+    yy, xx = np.mgrid[0:448, 0:448].astype(np.float32) / 448
+    img = np.stack(
+        [127 + 100 * np.sin(4 * xx), 127 + 100 * np.cos(4 * yy),
+         127 + 100 * np.sin(3 * (xx + yy))], axis=-1
+    ).clip(0, 255).astype(np.uint8)
+    p = str(tmp_path / "big.jpg")
+    Image.fromarray(img).save(p, quality=95)
+
+    dec = JpegDecoder(224, 224)
+    out = dec.decode_batch([p])
+    assert out.shape == (1, 224, 224, 3)
+    with Image.open(p) as im:
+        ref = np.asarray(im.convert("RGB").resize((224, 224), Image.BOX))
+    err = np.abs(out[0].astype(np.float32) - ref.astype(np.float32)).mean()
+    assert err < 6.0, f"mean abs err {err}"
