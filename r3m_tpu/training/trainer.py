@@ -147,6 +147,10 @@ def make_train_step(
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        metrics = dict(metrics)
+        # global gradient norm: cheap (one reduce) and the single most
+        # useful training-health signal the reference lacks
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
