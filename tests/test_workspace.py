@@ -218,3 +218,29 @@ def test_config_override_typo_rejected(dataset_root, tmp_path):
     # explicit additions are allowed with '+'
     cfg = load_config(cfg_path, overrides=["+my_extra=7"])
     assert cfg["my_extra"] == 7
+
+
+def test_cli_requeue_on_crash(dataset_root, tmp_path, monkeypatch):
+    """--retries relaunches the workspace after a crash (submitit-requeue
+    role); auto-resume then continues from the snapshot."""
+    import train_representation as tr
+    from r3m_tpu.training import workspace as ws_mod
+
+    calls = {"n": 0}
+    orig_train = ws_mod.Workspace.train
+
+    def flaky_train(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash")
+        return orig_train(self)
+
+    monkeypatch.setattr(ws_mod.Workspace, "train", flaky_train)
+    tr.main([
+        f"datapath={dataset_root}", f"log_dir={tmp_path/'rq'}",
+        "batch_size=2", "train_steps=1", "eval_freq=1000", "num_workers=2",
+        "agent.size=18", "agent.langweight=0.0", "compute_dtype=float32",
+        "n_devices=1", "snapshot=false", "compilation_cache_dir=",
+        "--retries=2",
+    ])
+    assert calls["n"] == 2

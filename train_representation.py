@@ -20,17 +20,35 @@ def main(argv=None):
     from r3m_tpu.utils.config import load_config
 
     cfg_path = os.path.join(os.path.dirname(__file__), "cfgs", "config_rep.yaml")
-    for a in argv:
+    retries = 0
+    for a in list(argv):
         if a.startswith("--config="):
             cfg_path = a.split("=", 1)[1]
             argv.remove(a)
-            break
+        elif a.startswith("--retries="):
+            # in-process requeue (the reference's submitit-launcher role,
+            # r3m/cfgs/hydra/launcher/local.yaml): on a crash, rebuild the
+            # workspace — auto-resume continues from the last snapshot
+            retries = int(a.split("=", 1)[1])
+            argv.remove(a)
     cfg = load_config(cfg_path, overrides=argv)
-    ws = Workspace(cfg)
-    try:
-        ws.train()
-    finally:
-        ws.close()
+
+    attempt = 0
+    while True:
+        ws = Workspace(cfg)
+        try:
+            ws.train()
+            return
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            attempt += 1
+            if attempt > retries:
+                raise
+            print(f"[requeue] attempt {attempt}/{retries} after "
+                  f"{type(e).__name__}: {e}")
+        finally:
+            ws.close()
 
 
 if __name__ == "__main__":
