@@ -21,6 +21,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeat test sessions skip recompiling the big
+# mesh/train-step programs (the bulk of suite wall time)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/r3m_tpu_xla_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
