@@ -97,4 +97,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the tunneled-TPU backend occasionally fails to initialize transiently;
+    # retry before giving up so a hiccup doesn't read as a benchmark failure
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f"[bench] retrying after {type(e).__name__}: {e}")
+            time.sleep(10)
