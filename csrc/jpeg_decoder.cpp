@@ -322,11 +322,15 @@ int r3m_pipeline_submit(void* handle, const char** paths, int n) {
         job->failed.fetch_add(1);
       }
       if (job->remaining.fetch_sub(1) == 1) {  // last frame of the batch
-        std::unique_lock<std::mutex> lk(p->mu);
-        p->ready.push_back(
-            Batch{job->seq, std::move(job->buf), job->failed.load()});
-        lk.unlock();
-        p->cv.notify_all();
+        {
+          std::unique_lock<std::mutex> lk(p->mu);
+          p->ready.push_back(
+              Batch{job->seq, std::move(job->buf), job->failed.load()});
+          // notify UNDER the lock: destroy() may delete the Pipeline the
+          // moment its predicate holds, so touching p->cv after unlocking
+          // would be a use-after-free
+          p->cv.notify_all();
+        }
         delete job;
       }
     });

@@ -120,14 +120,11 @@ def load_r3m_from_snapshot(path: str) -> R3MEncoder:
     language head (if any) is dropped — same downstream-use semantics as
     `load_r3m` (cleanup_config forces langweight=0, r3m/__init__.py:30).
     """
-    from r3m_tpu.checkpoint import load_snapshot
+    from r3m_tpu.checkpoint import load_snapshot, r3m_config_from_meta
 
     tree, meta = load_snapshot(path)
-    cfg_dict = dict(meta.get("config") or {})
-    cfg_dict["langweight"] = 0
-    cfg = R3MConfig(
-        **{k: v for k, v in cfg_dict.items() if k in R3MConfig.__dataclass_fields__}
-    )
+    # serving is always f32 regardless of the training compute dtype
+    cfg = r3m_config_from_meta(meta, langweight=0, compute_dtype="float32")
     return R3MEncoder(
         cfg,
         params={"convnet": tree["params"]["convnet"]},

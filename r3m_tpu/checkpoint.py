@@ -141,6 +141,17 @@ def save_train_snapshot(work_dir: str, state, cfg=None, keep_step_copy=True) -> 
     return rolling
 
 
+def r3m_config_from_meta(meta: Dict, **overrides):
+    """Rebuild an R3MConfig from snapshot metadata (filtered to known fields)."""
+    from r3m_tpu.models.r3m import R3MConfig
+
+    cfg_dict = dict(meta.get("config") or {})
+    cfg_dict.update(overrides)
+    return R3MConfig(
+        **{k: v for k, v in cfg_dict.items() if k in R3MConfig.__dataclass_fields__}
+    )
+
+
 def restore_like(saved, ref):
     """Rebuild `saved` with `ref`'s pytree structure and dtypes.
 

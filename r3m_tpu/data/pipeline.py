@@ -89,7 +89,13 @@ class DataPipeline:
 
     def close(self):
         self._stop.set()
-        self._thread.join(timeout=5.0)
+        self._thread.join(timeout=30.0)
+        if self._thread.is_alive():
+            # Producer wedged (e.g. decode stuck on bad storage). Freeing
+            # native batcher state now would be a use-after-free under the
+            # still-running thread — deliberately LEAK it instead.
+            print("[pipeline] producer did not exit; leaking batcher state")
+            return
         if hasattr(self.batcher, "close"):
             self.batcher.close()
 

@@ -155,16 +155,18 @@ def safe_l2_norm(x: jax.Array, axis: int = -1) -> jax.Array:
 def sim(cfg: R3MConfig, a: jax.Array, b: jax.Array) -> jax.Array:
     """−L2 distance or cosine similarity over the last axis (models_r3m.py:102-107).
 
-    Cosine clamps the norms at 1e-8 like torch.nn.CosineSimilarity(eps=1e-8)
-    — an exactly-zero embedding (possible under the L1 penalty + ReLU) must
-    yield similarity 0, not NaN.
+    Cosine uses torch **1.7.1** semantics (the version the reference pins,
+    r3m_base.yaml:60): dot(a,b) / max(||a||·||b||, eps) — the clamp is on
+    the norm PRODUCT, which matters for small-but-nonzero embeddings the L1
+    penalty pushes toward, and makes exactly-zero embeddings yield 0 rather
+    than NaN. (torch >= 1.8 clamps each norm separately.)
     """
     if cfg.l2dist:
         return -safe_l2_norm(a - b, axis=-1)
     eps = 1e-8
-    an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), eps)
-    bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), eps)
-    return jnp.sum(an * bn, axis=-1)
+    dot = jnp.sum(a * b, axis=-1)
+    denom = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    return dot / jnp.maximum(denom, eps)
 
 
 def get_reward(
@@ -216,17 +218,20 @@ class R3MEncoder:
                     precision=jax.lax.Precision.HIGHEST,
                 )
 
-            self._folded = fold_batchnorm(params["convnet"], batch_stats, cfg.size)
-            self._folded_src = (id(self.params), id(self.batch_stats))
+            self._folded = None
+            self._folded_src = None  # strong refs => `is` checks are safe
 
             def _fwd(p, s, obs):
-                # torch-style in-place weight swaps (enc.params = ...) must
-                # not serve stale folded weights — refold when identity moved
-                if (id(self.params), id(self.batch_stats)) != self._folded_src:
-                    self._folded = fold_batchnorm(
-                        self.params["convnet"], self.batch_stats, cfg.size
-                    )
-                    self._folded_src = (id(self.params), id(self.batch_stats))
+                # torch-style weight swaps (enc.params = ..., or
+                # enc.params["convnet"] = ...) must not serve stale folded
+                # weights. Strong references to the folded-from objects make
+                # the identity comparison immune to id reuse. Mutations
+                # deeper than the convnet subtree require refold().
+                src = (self.params, self.params.get("convnet"), self.batch_stats)
+                if self._folded_src is None or any(
+                    a is not b for a, b in zip(src, self._folded_src)
+                ):
+                    self.refold()
                 return _fwd_folded(self._folded, obs)
 
             self._fwd = _fwd
@@ -246,6 +251,19 @@ class R3MEncoder:
                 return emb
 
             self._fwd = _fwd
+
+    def refold(self):
+        """Recompute the BN-folded serving weights from current params."""
+        if self.cfg.size == 0:
+            return  # ViT path folds nothing
+        from r3m_tpu.models.resnet import fold_batchnorm
+
+        self._folded = fold_batchnorm(
+            self.params["convnet"], self.batch_stats, self.cfg.size
+        )
+        self._folded_src = (
+            self.params, self.params.get("convnet"), self.batch_stats
+        )
 
     @property
     def outdim(self) -> int:

@@ -77,18 +77,12 @@ class R3MRewardModel:
         lang_max_len: int = 32,
     ) -> "R3MRewardModel":
         """Build from a native .npz training snapshot (config in metadata)."""
-        from r3m_tpu.checkpoint import load_snapshot
+        from r3m_tpu.checkpoint import load_snapshot, r3m_config_from_meta
         from r3m_tpu.training.workspace import load_bert_params
 
         tree, meta = load_snapshot(snapshot_path)
-        cfg_dict = meta.get("config") or {}
-        cfg = R3MConfig(
-            **{
-                k: v
-                for k, v in cfg_dict.items()
-                if k in R3MConfig.__dataclass_fields__
-            }
-        )
+        # serving is always f32 regardless of the training compute dtype
+        cfg = r3m_config_from_meta(meta, compute_dtype="float32")
         return cls(
             cfg,
             params=tree["params"],

@@ -198,12 +198,15 @@ class Workspace:
         rolling = os.path.join(self.work_dir, "snapshot.npz")
         if os.path.exists(rolling):
             candidates.append(rolling)
-        steps = glob.glob(os.path.join(self.work_dir, "snapshot_*.npz"))
-        steps.sort(
-            key=lambda p: int(re.search(r"snapshot_(\d+)", p).group(1)),
-            reverse=True,
-        )
-        candidates.extend(steps)
+        steps = []
+        for p in glob.glob(os.path.join(self.work_dir, "snapshot_*.npz")):
+            # only step-numbered snapshots participate in the fallback —
+            # user-named copies (snapshot_best.npz) are ignored, and the
+            # match is on the basename so directory names can't poison it
+            m = re.fullmatch(r"snapshot_(\d+)\.npz", os.path.basename(p))
+            if m:
+                steps.append((int(m.group(1)), p))
+        candidates.extend(p for _, p in sorted(steps, reverse=True))
         for path in candidates:
             try:
                 print(f"resuming: {path}")

@@ -143,3 +143,21 @@ def test_bn_folding_parity(size, rng):
         folded, x, size=size, precision=jax.lax.Precision.HIGHEST
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_encoder_refolds_on_weight_swap(rng):
+    """Swapping enc.params['convnet'] (torch-style) must not serve stale
+    folded weights (regression: id()-based staleness check missed it)."""
+    import jax
+
+    from r3m_tpu.models.r3m import R3MConfig, R3MEncoder, r3m_init
+
+    cfg = R3MConfig(size=18)
+    s1 = r3m_init(jax.random.PRNGKey(0), cfg)
+    s2 = r3m_init(jax.random.PRNGKey(1), cfg)
+    enc = R3MEncoder(cfg, s1["params"], s1["batch_stats"])
+    img = rng.integers(0, 255, size=(1, 3, 64, 64)).astype(np.float32)
+    e1 = np.asarray(enc(img))
+    enc.params["convnet"] = s2["params"]["convnet"]  # nested swap
+    e2 = np.asarray(enc(img))
+    assert not np.allclose(e1, e2)
