@@ -21,6 +21,21 @@ from r3m_tpu.models.r3m import (  # noqa: F401
 
 __version__ = "0.1.0"
 
+__all__ = [
+    "R3M",
+    "R3MConfig",
+    "R3MEncoder",
+    "VALID_ARGS",
+    "cleanup_config",
+    "load_r3m",
+    "load_r3m_from_files",
+    "load_r3m_from_snapshot",
+    "load_r3m_reproduce",
+    "r3m_embed",
+    "r3m_init",
+    "sim",
+]
+
 # Constructor args accepted from checkpoint configs (r3m/__init__.py:15).
 VALID_ARGS = [
     "_target_",

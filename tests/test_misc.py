@@ -1,0 +1,48 @@
+"""Step predicates, schedule parser, and small utilities (utils.py parity)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from r3m_tpu.utils.misc import (
+    Every,
+    Until,
+    accuracy,
+    eval_mode,
+    schedule,
+    soft_update_params,
+)
+
+
+def test_until_every():
+    until = Until(5)
+    assert [until(s) for s in range(7)] == [True] * 5 + [False] * 2
+    assert Until(None)(10**9)
+    every = Every(3)
+    assert [every(s) for s in range(7)] == [True, False, False] * 2 + [True]
+    assert not Every(None)(0)
+
+
+def test_schedule_parser():
+    assert schedule("0.5", 100) == 0.5
+    assert schedule("linear(1.0,0.0,10)", 0) == 1.0
+    assert schedule("linear(1.0,0.0,10)", 5) == 0.5
+    assert schedule("linear(1.0,0.0,10)", 20) == 0.0
+    assert schedule("step_linear(1.0,0.5,10,0.0,10)", 15) == 0.25
+
+
+def test_accuracy_topk():
+    logits = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    target = jnp.asarray([1, 2])
+    top1, top2 = accuracy(logits, target, topk=(1, 2))
+    assert float(top1) == 50.0
+    assert float(top2) == 50.0  # row 1: top-2 is {0,1} (stable tie), target 2 missed
+
+
+def test_soft_update_and_eval_mode():
+    a = {"w": jnp.ones((2,))}
+    b = {"w": jnp.zeros((2,))}
+    out = soft_update_params(a, b, tau=0.25)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.25)
+    with eval_mode("anything"):
+        pass
