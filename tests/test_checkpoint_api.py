@@ -221,3 +221,34 @@ def test_vit_train_state_snapshot_roundtrip(tmp_path):
     snap = save_train_snapshot(str(tmp_path), state, cfg, keep_step_copy=False)
     restored = load_train_snapshot(snap, state)
     assert restored.batch_stats == {}
+
+
+def test_import_torch_snapshot_with_language_head(tmp_path):
+    """Language-trained reference snapshots import lang_rew too."""
+    import jax
+    import torch
+
+    from r3m_tpu.checkpoint import import_torch_snapshot_to_state
+    from r3m_tpu.models.r3m import R3MConfig
+    from r3m_tpu.training.trainer import create_train_state
+    from tests.torch_ref import TorchLanguageReward, torch_resnet
+
+    tm = torch_resnet(18)
+    lr_torch = TorchLanguageReward(512, 1024, 768)
+    sd = {f"module.convnet.{k}": v for k, v in tm.state_dict().items()}
+    sd.update({f"module.lang_rew.{k}": v for k, v in lr_torch.state_dict().items()})
+    snap = str(tmp_path / "snapshot.pt")
+    torch.save({"r3m": sd, "global_step": 7}, snap)
+
+    cfg = R3MConfig(size=18, langweight=1.0)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state2 = import_torch_snapshot_to_state(snap, state)
+    assert int(state2.step) == 7
+    # structure-agnostic check: some lang_rew leaf matches the torch
+    # first-layer weight after transpose
+    w0 = lr_torch.state_dict()["pred.0.weight"].numpy().T
+    leaves = jax.tree_util.tree_leaves(state2.params["lang_rew"])
+    assert any(
+        l.shape == w0.shape and np.allclose(np.asarray(l), w0, rtol=1e-6)
+        for l in leaves
+    )
