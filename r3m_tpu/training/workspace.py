@@ -307,7 +307,31 @@ class Workspace:
                 self.logger.dump(step, ty="train")
 
     def save_snapshot(self) -> str:
-        return save_train_snapshot(self.work_dir, self.state, self.model_cfg)
+        path = save_train_snapshot(self.work_dir, self.state, self.model_cfg)
+        keep = int(self.cfg.get("keep_snapshots", 0))
+        if keep > 0:
+            self._prune_snapshots(keep)
+        return path
+
+    def _prune_snapshots(self, keep: int):
+        """Keep only the newest `keep` per-step snapshots (rolling one stays).
+
+        The reference keeps every snapshot_{step}.pt (~1 GB each, 100 over a
+        2M-step run) — retention is opt-in via cfg.keep_snapshots.
+        """
+        import glob
+        import re
+
+        steps = []
+        for p in glob.glob(os.path.join(self.work_dir, "snapshot_*.npz")):
+            m = re.fullmatch(r"snapshot_(\d+)\.npz", os.path.basename(p))
+            if m:
+                steps.append((int(m.group(1)), p))
+        for _, p in sorted(steps, reverse=True)[keep:]:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
     def close(self):
         self.train_pipe.close()

@@ -244,3 +244,25 @@ def test_cli_requeue_on_crash(dataset_root, tmp_path, monkeypatch):
         "--retries=2",
     ])
     assert calls["n"] == 2
+
+
+def test_snapshot_retention(dataset_root, tmp_path):
+    """keep_snapshots prunes old per-step snapshots; rolling one stays."""
+    from r3m_tpu.training.workspace import Workspace
+
+    cfg = _base_cfg(dataset_root, tmp_path)
+    cfg["keep_snapshots"] = 1
+    cfg["eval_freq"] = 1  # snapshot at every step: 3 per-step snapshots
+    work = tmp_path / "ret"
+    work.mkdir()
+    ws = Workspace(cfg, work_dir=str(work))
+    try:
+        ws.train()
+    finally:
+        ws.close()
+    import glob
+
+    per_step = sorted(glob.glob(str(work / "snapshot_*.npz")))
+    assert len(per_step) == 1  # only the newest kept
+    assert per_step[0].endswith("snapshot_3.npz")
+    assert os.path.exists(work / "snapshot.npz")
