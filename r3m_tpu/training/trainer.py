@@ -97,6 +97,19 @@ def _encode_and_loss(
     return r3m_loss(cfg, params, emb, lang_emb, lang_mask, perms) + (new_stats,)
 
 
+def _check_bert(cfg: R3MConfig, bert_params: Optional[Pytree]) -> Optional[Pytree]:
+    """Validate presence and coerce numpy leaves to device arrays once.
+
+    Snapshot loaders hand back numpy pytrees; numpy[tracer] indexing (the
+    embedding lookup) fails at trace time.
+    """
+    if cfg.langweight > 0 and bert_params is None:
+        raise ValueError("langweight > 0 requires bert_params (frozen DistilBERT)")
+    if bert_params is None:
+        return None
+    return jax.tree_util.tree_map(jnp.asarray, bert_params)
+
+
 def make_train_step(
     cfg: R3MConfig,
     bert_params: Optional[Pytree] = None,
@@ -120,12 +133,7 @@ def make_train_step(
     (params replicated, batch sharded on dp) — call it on globally-shaped
     arrays; use `r3m_tpu.parallel.mesh.shard_batch` to place host batches.
     """
-    if cfg.langweight > 0 and bert_params is None:
-        raise ValueError("langweight > 0 requires bert_params (frozen DistilBERT)")
-    if bert_params is not None:
-        # snapshot loaders hand back numpy leaves; numpy[tracer] indexing
-        # (the embedding lookup) fails at trace time — coerce once here
-        bert_params = jax.tree_util.tree_map(jnp.asarray, bert_params)
+    bert_params = _check_bert(cfg, bert_params)
     tx = make_optimizer(cfg)
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
@@ -192,10 +200,7 @@ def make_eval_step(
     Matches the reference's `update(eval=True)` under torch.no_grad
     (train_representation.py:114-117): model.eval() + skip the step.
     """
-    if cfg.langweight > 0 and bert_params is None:
-        raise ValueError("langweight > 0 requires bert_params")
-    if bert_params is not None:
-        bert_params = jax.tree_util.tree_map(jnp.asarray, bert_params)
+    bert_params = _check_bert(cfg, bert_params)
 
     def eval_fn(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
         bs = batch["images"].shape[0]
