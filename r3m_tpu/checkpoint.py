@@ -18,7 +18,6 @@ artifacts.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 import os
 from typing import Any, Dict, Optional, Tuple

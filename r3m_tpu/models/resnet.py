@@ -21,7 +21,6 @@ PyTorch-checkpoint converter (`r3m_tpu/convert.py`) is a mechanical rename.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Tuple
 
 import jax

@@ -19,7 +19,7 @@ loaded from disk — see `r3m_tpu.fetch` for the artifact cache layout.
 from __future__ import annotations
 
 import unicodedata
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

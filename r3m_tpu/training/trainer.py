@@ -19,7 +19,7 @@ them — reproducing DataParallel's compute-loss-on-gathered-batch semantics
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
