@@ -252,3 +252,21 @@ def test_import_torch_snapshot_with_language_head(tmp_path):
         l.shape == w0.shape and np.allclose(np.asarray(l), w0, rtol=1e-6)
         for l in leaves
     )
+
+
+def test_load_r3m_reproduce_cache_layout(fake_reference_artifacts, tmp_path, monkeypatch):
+    """load_r3m_reproduce resolves its own registry folders (typo-fixed ids)."""
+    import shutil
+
+    from r3m_tpu import load_r3m_reproduce
+
+    _, modelpath, configpath = fake_reference_artifacts
+    home = tmp_path / "r3m_home"
+    for folder in ("original_r3m", "original_r3m_nol1"):
+        (home / folder).mkdir(parents=True)
+        shutil.copy(modelpath, home / folder / "model.pt")
+        shutil.copy(configpath, home / folder / "config.yaml")
+    monkeypatch.setenv("R3M_HOME", str(home))
+    assert load_r3m_reproduce("r3m").outdim == 512
+    # unreachable in the reference due to the `modelif` typo — loadable here
+    assert load_r3m_reproduce("r3m_nol1").outdim == 512
