@@ -184,3 +184,24 @@ class Logger:
             self._train_mg.dump(step, "train")
         if ty is None or ty == "eval":
             self._eval_mg.dump(step, "eval")
+
+    def log_and_dump_ctx(self, step: int, ty: str) -> "LogAndDumpCtx":
+        """Collect (key, value) pairs via calls, dump once on exit
+        (reference `LogAndDumpCtx`, logger.py:170-183)."""
+        return LogAndDumpCtx(self, step, ty)
+
+
+class LogAndDumpCtx:
+    def __init__(self, logger: Logger, step: int, ty: str):
+        self._logger = logger
+        self._step = step
+        self._ty = ty
+
+    def __enter__(self) -> "LogAndDumpCtx":
+        return self
+
+    def __call__(self, key: str, value: float):
+        self._logger.log_metrics({key: value}, self._step, self._ty)
+
+    def __exit__(self, *args):
+        self._logger.dump(self._step, self._ty)

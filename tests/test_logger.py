@@ -60,3 +60,16 @@ def test_disabled_logger_writes_nothing(tmp_path):
     lg.log_metrics({"full_loss": 1.0}, 0, "train")
     lg.dump(0)
     assert not os.path.exists(tmp_path / "train.csv")
+
+
+def test_log_and_dump_ctx(tmp_path):
+    """Reference LogAndDumpCtx (logger.py:170-183): collect then dump on exit."""
+    lg = Logger(str(tmp_path))
+    with lg.log_and_dump_ctx(7, "eval") as log:
+        log("full_loss", 1.5)
+        log("tcnloss", 0.25)
+    rows = _read_rows(tmp_path / "eval.csv")
+    assert len(rows) == 1
+    assert float(rows[0]["step"]) == 7.0
+    assert float(rows[0]["full_loss"]) == 1.5
+    assert float(rows[0]["tcnloss"]) == 0.25
