@@ -140,6 +140,25 @@ def save_train_snapshot(work_dir: str, state, cfg=None, keep_step_copy=True) -> 
     return rolling
 
 
+def step_snapshots(work_dir: str):
+    """Step-numbered snapshots in `work_dir`, newest first: [(step, path)].
+
+    Only ``snapshot_{step}.npz`` basenames participate — user-named copies
+    (e.g. snapshot_best.npz) are ignored, and matching on the basename keeps
+    directory names from poisoning the pattern. Shared by auto-resume
+    fallback and retention pruning.
+    """
+    import glob
+    import re
+
+    out = []
+    for p in glob.glob(os.path.join(work_dir, "snapshot_*.npz")):
+        m = re.fullmatch(r"snapshot_(\d+)\.npz", os.path.basename(p))
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out, reverse=True)
+
+
 def r3m_config_from_meta(meta: Dict, **overrides):
     """Rebuild an R3MConfig from snapshot metadata (filtered to known fields)."""
     from r3m_tpu.models.r3m import R3MConfig

@@ -40,7 +40,21 @@ def _warn_failed(failed: int, n: int, limit: int = 20) -> None:
         )
 
 
+_lib_memo: List = []  # [lib-or-None] once an auto-build load was attempted
+
+
 def _load_library(auto_build: bool = True):
+    # memoize the default path: a missing compiler/libjpeg otherwise re-runs
+    # the failing `make` subprocess for every decoder/pipeline construction
+    if auto_build and _lib_memo:
+        return _lib_memo[0]
+    lib = _load_library_uncached(auto_build)
+    if auto_build:
+        _lib_memo.append(lib)
+    return lib
+
+
+def _load_library_uncached(auto_build: bool = True):
     if not os.path.exists(_LIB_PATH) and auto_build and os.path.isdir(_SRC_DIR):
         try:
             subprocess.run(

@@ -88,7 +88,10 @@ class Ego4DDataset:
     def sample_clip(self) -> ClipSample:
         vidid = int(self.rng.integers(0, len(self._paths)))
         vidlen = int(self._lens[vidid])
-        txt = str(self._txts[vidid])
+        raw = self._txts[vidid]
+        # a missing txt cell reads back as float NaN; str(NaN)[2:] would
+        # yield the junk caption "n" with lang_mask=1 — treat as empty
+        txt = "" if pd.isna(raw) else str(raw)
         caption = txt[2:]  # strips the leading "C " (data_loaders.py:72)
         vid = str(self._paths[vidid])
         inds = self.sample_indices(vidlen)

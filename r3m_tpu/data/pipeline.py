@@ -85,6 +85,10 @@ class DataPipeline:
             try:
                 return self._q.get(timeout=1.0)
             except queue.Empty:
+                if not self._thread.is_alive() and self._q.empty():
+                    # producer exited cleanly (close() raced this call, or a
+                    # finished thread with no error) — don't spin forever
+                    raise StopIteration
                 continue
 
     def close(self):

@@ -45,12 +45,19 @@ def _drive_download(file_id: str, dest: str) -> None:
     url = "https://drive.google.com/uc"
     sess = requests.Session()
     resp = sess.get(url, params={"id": file_id, "export": "download"}, stream=True, timeout=60)
+    resp.raise_for_status()
     token = None
     for k, v in resp.cookies.items():
         if k.startswith("download_warning"):
             token = v
-    if token is None and b"confirm=" in resp.content[:100000]:
-        m = re.search(rb"confirm=([0-9A-Za-z_\-]+)", resp.content)
+    # Peek at most the first streamed chunk for the confirm marker — never
+    # `resp.content`, which would buffer the whole artifact (hundreds of MB)
+    # in RAM. If it isn't an interstitial, the peeked bytes ARE file data
+    # and are written out first.
+    first = b""
+    if token is None:
+        first = next(resp.iter_content(1 << 20), b"")
+        m = re.search(rb"confirm=([0-9A-Za-z_\-]+)", first)
         if m:
             token = m.group(1).decode()
     if token is not None:
@@ -60,9 +67,12 @@ def _drive_download(file_id: str, dest: str) -> None:
             stream=True,
             timeout=60,
         )
-    resp.raise_for_status()
+        resp.raise_for_status()
+        first = b""
     tmp = dest + ".part"
     with open(tmp, "wb") as f:
+        if first:
+            f.write(first)
         for chunk in resp.iter_content(1 << 20):
             f.write(chunk)
     os.replace(tmp, dest)

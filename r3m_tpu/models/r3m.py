@@ -165,7 +165,9 @@ def sim(cfg: R3MConfig, a: jax.Array, b: jax.Array) -> jax.Array:
         return -safe_l2_norm(a - b, axis=-1)
     eps = 1e-8
     dot = jnp.sum(a * b, axis=-1)
-    denom = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    # safe_l2_norm, not jnp.linalg.norm: an exactly-zero embedding (ReLU
+    # output under the L1 penalty) must get torch's 0 subgradient, not 0/0
+    denom = safe_l2_norm(a, axis=-1) * safe_l2_norm(b, axis=-1)
     return dot / jnp.maximum(denom, eps)
 
 
@@ -195,8 +197,10 @@ class R3MEncoder:
 
     def __init__(self, cfg: R3MConfig, params: Pytree, batch_stats: Pytree):
         self.cfg = cfg
-        self.params = params
-        self.batch_stats = batch_stats
+        # snapshot loaders hand back numpy pytrees; passing numpy leaves as
+        # jit args would re-upload all weights to the device on every call
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
         self.module = self  # DataParallel-compat alias (ref accesses .module)
 
         if cfg.size != 0:

@@ -28,6 +28,7 @@ from r3m_tpu.checkpoint import (
     load_snapshot,
     load_train_snapshot,
     save_train_snapshot,
+    step_snapshots,
 )
 from r3m_tpu.data.ego4d import Ego4DDataset, FrameBatcher
 from r3m_tpu.data.pipeline import DataPipeline
@@ -78,7 +79,9 @@ class Workspace:
         # same paths on a shared filesystem.
         self.is_lead = jax.process_index() == 0
         self.logger = Logger(
-            cfg.get("log_dir") or self.work_dir,
+            # work_dir already folds in cfg.log_dir; honoring an explicitly
+            # passed work_dir keeps CSVs and snapshots in the same run dir
+            self.work_dir,
             use_tb=bool(cfg.get("use_tb", False)) and self.is_lead,
             use_wandb=bool(cfg.get("use_wandb", False)) and self.is_lead,
             cfg=dict(cfg),
@@ -191,22 +194,11 @@ class Workspace:
         (host killed mid-eval before the atomic rename, disk hiccup) fall
         back to the newest per-step snapshot instead of crashing.
         """
-        import glob
-        import re
-
         candidates = []
         rolling = os.path.join(self.work_dir, "snapshot.npz")
         if os.path.exists(rolling):
             candidates.append(rolling)
-        steps = []
-        for p in glob.glob(os.path.join(self.work_dir, "snapshot_*.npz")):
-            # only step-numbered snapshots participate in the fallback —
-            # user-named copies (snapshot_best.npz) are ignored, and the
-            # match is on the basename so directory names can't poison it
-            m = re.fullmatch(r"snapshot_(\d+)\.npz", os.path.basename(p))
-            if m:
-                steps.append((int(m.group(1)), p))
-        candidates.extend(p for _, p in sorted(steps, reverse=True))
+        candidates.extend(p for _, p in step_snapshots(self.work_dir))
         for path in candidates:
             try:
                 print(f"resuming: {path}")
@@ -251,10 +243,12 @@ class Workspace:
         # resumed runs (load_snap / auto-resume) still capture a trace
         prof_start = self.global_step + 10
         prof_n = int(cfg.get("profile_steps", 5))
+        prof_active = False
         pending = []  # [(step, device metrics dict, sample_s, update_s)]
         while until(self.global_step):
-            if prof_dir and self.global_step == prof_start:
+            if prof_dir and not prof_active and self.global_step == prof_start:
                 jax.profiler.start_trace(prof_dir)
+                prof_active = True
             t0 = time.time()
             batch = self._place(next(self.train_pipe))
             t1 = time.time()
@@ -263,9 +257,10 @@ class Workspace:
             t2 = time.time()
             step = self.global_step
             pending.append((step, metrics, t1 - t0, t2 - t1))
-            if prof_dir and step == prof_start + prof_n:
+            if prof_active and step >= prof_start + prof_n:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
+                prof_active = False
                 prof_dir = ""  # one capture per run
                 print(f"profile trace written: {cfg.get('profile_dir')}")
             if len(pending) >= flush_n:
@@ -290,6 +285,12 @@ class Workspace:
                 print("EVAL", step, emetrics)
                 if cfg.get("snapshot", True) and self.is_lead:
                     self.save_snapshot()
+        if prof_active:
+            # training ended inside the capture window — close the trace so
+            # the data is written and the profiler session isn't left open
+            self.state = jax.block_until_ready(self.state)
+            jax.profiler.stop_trace()
+            print(f"profile trace written: {cfg.get('profile_dir')}")
         self._flush_train_metrics(pending)
         self.logger.dump(self.global_step)
 
@@ -319,15 +320,7 @@ class Workspace:
         The reference keeps every snapshot_{step}.pt (~1 GB each, 100 over a
         2M-step run) — retention is opt-in via cfg.keep_snapshots.
         """
-        import glob
-        import re
-
-        steps = []
-        for p in glob.glob(os.path.join(self.work_dir, "snapshot_*.npz")):
-            m = re.fullmatch(r"snapshot_(\d+)\.npz", os.path.basename(p))
-            if m:
-                steps.append((int(m.group(1)), p))
-        for _, p in sorted(steps, reverse=True)[keep:]:
+        for _, p in step_snapshots(self.work_dir)[keep:]:
             try:
                 os.remove(p)
             except OSError:

@@ -29,7 +29,13 @@ class Config(dict):
             v = self[k]
         except KeyError as e:
             raise AttributeError(k) from e
-        return Config(v) if isinstance(v, dict) and not isinstance(v, Config) else v
+        if isinstance(v, dict) and not isinstance(v, Config):
+            # cache the converted child back so attribute writes to nested
+            # nodes (cfg.agent.langweight = 1.0) mutate THIS config, not a
+            # throwaway copy
+            v = Config(v)
+            self[k] = v
+        return v
 
     def __setattr__(self, k, v):
         self[k] = v

@@ -27,3 +27,14 @@ def test_agent_to_r3m_config_string_coercion():
 def test_instantiate_target():
     obj = instantiate({"_target_": "collections.OrderedDict"}, a=1)
     assert obj["a"] == 1
+
+
+def test_nested_attribute_write_persists():
+    """cfg.agent.langweight = x must mutate cfg, not a throwaway copy."""
+    from r3m_tpu.utils.config import Config
+
+    cfg = Config({"agent": {"langweight": 0.0, "inner": {"d": 1}}})
+    cfg.agent.langweight = 1.0
+    assert cfg["agent"]["langweight"] == 1.0
+    cfg.agent.inner.d = 7
+    assert cfg["agent"]["inner"]["d"] == 7

@@ -135,3 +135,33 @@ def test_decoder_resizes_oversized_frames(tmp_path):
         ref = np.asarray(im.convert("RGB").resize((224, 224), Image.BOX))
     err = np.abs(out[0].astype(np.float32) - ref.astype(np.float32)).mean()
     assert err < 6.0, f"mean abs err {err}"
+
+
+def test_nan_caption_becomes_empty(tmp_path):
+    """A missing txt cell (pandas NaN) must yield caption "" (masked), not
+    the junk caption "n" from str(nan)[2:]."""
+    import pandas as pd
+    from PIL import Image
+    import os
+
+    root = tmp_path / "nan_ds"
+    vdir = root / "vid000"
+    os.makedirs(vdir)
+    for t in range(1, 6):
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(vdir / f"{t:06}.jpg")
+    pd.DataFrame([{"path": str(vdir), "len": 5, "txt": None}]).to_csv(
+        root / "manifest.csv", index=False
+    )
+    ds = Ego4DDataset(str(root), seed=0)
+    assert ds.sample_clip().caption == ""
+
+
+def test_pipeline_stops_after_close(dataset_root):
+    """__next__ must not spin forever once the producer has exited."""
+    ds = Ego4DDataset(dataset_root, seed=0)
+    pipe = DataPipeline(FrameBatcher(ds, batch_size=2, height=64, width=64))
+    next(pipe)  # producer alive and serving
+    pipe.close()
+    with pytest.raises((StopIteration, RuntimeError)):
+        for _ in range(8):  # drain whatever close() left in the queue
+            next(pipe)

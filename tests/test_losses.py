@@ -203,3 +203,16 @@ def test_cosine_sim_zero_embedding_no_nan():
     s = sim(cfg, a, b)
     assert np.all(np.isfinite(np.asarray(s)))
     np.testing.assert_allclose(np.asarray(s), 0.0, atol=1e-6)
+
+
+def test_cosine_sim_zero_embedding_gradient_finite():
+    """Regression: the backward through the norm at an exactly-zero
+    embedding must be finite (torch's 0 subgradient), not 0/0 NaN."""
+    cfg = R3MConfig(size=18, l2dist=False)
+
+    def f(a, b):
+        return jnp.sum(sim(cfg, a, b))
+
+    ga, gb = jax.grad(f, argnums=(0, 1))(jnp.zeros((2, 8)), jnp.ones((2, 8)))
+    assert np.all(np.isfinite(np.asarray(ga)))
+    assert np.all(np.isfinite(np.asarray(gb)))

@@ -57,7 +57,9 @@ def test_workspace_train_eval_snapshot_resume(dataset_root, tmp_path):
     finally:
         ws.close()
     assert os.path.exists(work / "snapshot.npz")
-    assert os.path.exists(tmp_path / "train.csv")
+    # CSVs follow the run dir: an explicit work_dir overrides cfg.log_dir so
+    # logs and snapshots never diverge
+    assert os.path.exists(work / "train.csv")
 
     # auto-resume picks up global step (last snapshot was post-update step 3)
     ws2 = Workspace(cfg, work_dir=str(work))
@@ -266,3 +268,30 @@ def test_snapshot_retention(dataset_root, tmp_path):
     assert len(per_step) == 1  # only the newest kept
     assert per_step[0].endswith("snapshot_3.npz")
     assert os.path.exists(work / "snapshot.npz")
+
+
+def test_profile_trace_closed_when_training_ends_early(dataset_root, tmp_path):
+    """A capture window extending past train_steps must still stop the trace
+    (data written, profiler session closed for later runs)."""
+    from r3m_tpu.training.workspace import Workspace
+
+    work = tmp_path / "prof_run"
+    work.mkdir()
+    prof = tmp_path / "prof_trace"
+    cfg = _base_cfg(dataset_root, tmp_path)
+    cfg["train_steps"] = 12  # window is steps [10, 15) -> loop ends inside it
+    cfg["eval_freq"] = 100
+    cfg["profile_dir"] = str(prof)
+    ws = Workspace(cfg, work_dir=str(work))
+    try:
+        ws.train()
+    finally:
+        ws.close()
+    import glob
+
+    assert glob.glob(str(prof / "**" / "*.xplane.pb"), recursive=True)
+    # session is closed: a fresh trace can start without "already active"
+    import jax
+
+    jax.profiler.start_trace(str(tmp_path / "t2"))
+    jax.profiler.stop_trace()
