@@ -75,8 +75,10 @@ def main():
         state, metrics = step(state, batch)
     # Steps chain through `state`, so fetching the last step's loss value
     # waits for the whole sequence — a hard sync even if block_until_ready
-    # returns early on experimental platforms.
-    assert float(metrics["full_loss"]) == float(metrics["full_loss"])
+    # returns early on experimental platforms. A plain statement, NOT an
+    # assert: `python -O` strips asserts (timing would measure only async
+    # dispatch), and a NaN loss must still report rather than crash.
+    float(metrics["full_loss"])
     dt = time.perf_counter() - t0
 
     fps = bs * 5 * steps / dt

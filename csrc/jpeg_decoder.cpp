@@ -98,8 +98,13 @@ void resize_box(const std::vector<uint8_t>& src, int sh, int sw, uint8_t* dst,
   }
 }
 
-// Decode one JPEG file to RGB into dst (H*W*3). Returns true on success.
-bool decode_file(const char* path, uint8_t* dst, int H, int W) {
+// libjpeg decode body. setjmp/longjmp error recovery is confined to this
+// frame, which holds ONLY trivially-destructible locals — the scratch
+// vectors live in the decode_file wrapper and are passed by reference, so
+// the longjmp cannot skip their destructors (that would be UB and leak
+// the decode buffers on every corrupt frame).
+bool decode_file_impl(const char* path, uint8_t* dst, int H, int W,
+                      std::vector<uint8_t>& buf, std::vector<uint8_t>& row) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
 
@@ -135,11 +140,18 @@ bool decode_file(const char* path, uint8_t* dst, int H, int W) {
   const int sh = cinfo.output_height;
   const int comps = cinfo.output_components;
 
+  // Reject absurd frames (a corrupt header can declare up to 65535x65535,
+  // ~12 GB of RGB even after the /8 DCT scale) before allocating for them.
+  if (static_cast<int64_t>(sw) * sh > (int64_t)64 * 1024 * 1024) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+
   bool direct = (sw == W && sh == H && comps == 3);
-  std::vector<uint8_t> buf;
   if (!direct) buf.resize(static_cast<size_t>(sw) * sh * 3);
 
-  std::vector<uint8_t> row(static_cast<size_t>(sw) * comps);
+  row.resize(static_cast<size_t>(sw) * comps);
   while (cinfo.output_scanline < cinfo.output_height) {
     const int y = cinfo.output_scanline;
     uint8_t* target =
@@ -164,6 +176,18 @@ bool decode_file(const char* path, uint8_t* dst, int H, int W) {
 
   if (!direct) resize_box(buf, sh, sw, dst, H, W);
   return true;
+}
+
+// Decode one JPEG file to RGB into dst (H*W*3). Returns true on success.
+// noexcept: a bad_alloc escaping a ThreadPool worker would std::terminate
+// the whole training process — a failed frame must zero-fill instead.
+bool decode_file(const char* path, uint8_t* dst, int H, int W) noexcept {
+  try {
+    std::vector<uint8_t> buf, row;  // scratch owned OUTSIDE the setjmp frame
+    return decode_file_impl(path, dst, H, W, buf, row);
+  } catch (...) {
+    return false;
+  }
 }
 
 class ThreadPool {
@@ -245,6 +269,7 @@ struct Pipeline {
   int64_t next_submit_seq = 0;
   int64_t next_fetch_seq = 0;
   int in_flight = 0;                    // submitted, not yet fetched
+  int active_fetches = 0;               // fetch() calls currently executing
   std::vector<Batch> ready;             // completed, unfetched batches
   std::vector<std::vector<uint8_t>> free_bufs;  // staging buffer pool
   bool stopping = false;
@@ -275,9 +300,14 @@ void r3m_pipeline_destroy(void* handle) {
   {
     std::unique_lock<std::mutex> lk(p->mu);
     p->stopping = true;
-    // wait for in-flight decodes so jobs don't touch a freed Pipeline
+    // wake submitters blocked on depth backpressure so they can observe
+    // stopping and bail out instead of deadlocking against this wait
+    p->cv.notify_all();
+    // wait for in-flight decodes AND executing fetches so neither jobs nor
+    // a concurrent fetch() touch a freed Pipeline
     p->cv.wait(lk, [&] {
-      return p->in_flight == static_cast<int>(p->ready.size());
+      return p->in_flight == static_cast<int>(p->ready.size()) &&
+             p->active_fetches == 0;
     });
   }
   delete p;
@@ -347,6 +377,9 @@ int r3m_pipeline_fetch(void* handle, uint8_t* out) {
   {
     std::unique_lock<std::mutex> lk(p->mu);
     if (p->next_fetch_seq >= p->next_submit_seq) return -1;
+    // pin the Pipeline: destroy() waits for active_fetches == 0, so the
+    // unlocked memcpy below and the re-lock cannot hit freed memory
+    p->active_fetches += 1;
     const int64_t want = p->next_fetch_seq;
     p->cv.wait(lk, [&] {
       for (auto& b : p->ready)
@@ -370,8 +403,10 @@ int r3m_pipeline_fetch(void* handle, uint8_t* out) {
     std::unique_lock<std::mutex> lk(p->mu);
     if (p->free_bufs.size() < static_cast<size_t>(p->depth))
       p->free_bufs.push_back(std::move(buf));
+    p->active_fetches -= 1;
+    // notify UNDER the lock (same reasoning as the decode-job completion)
+    p->cv.notify_all();
   }
-  p->cv.notify_all();
   return failed;
 }
 
@@ -387,7 +422,9 @@ int r3m_decode_batch(void* handle, const char** paths, int n, uint8_t* out,
                      int H, int W) {
   Decoder* d = static_cast<Decoder*>(handle);
   std::atomic<int> failed{0};
-  std::atomic<int> done{0};
+  int done = 0;  // guarded by mu — NOT atomic: the caller may observe the
+                 // final count and destroy mu/cv only after the last worker
+                 // has released the lock, so no worker can touch them late
   std::mutex mu;
   std::condition_variable cv;
 
@@ -399,14 +436,14 @@ int r3m_decode_batch(void* handle, const char** paths, int n, uint8_t* out,
         std::memset(dst, 0, frame);
         failed.fetch_add(1);
       }
-      if (done.fetch_add(1) + 1 == n) {
+      {
         std::unique_lock<std::mutex> lk(mu);
-        cv.notify_one();
+        if (++done == n) cv.notify_one();
       }
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
+  cv.wait(lk, [&] { return done == n; });
   return failed.load();
 }
 

@@ -64,3 +64,45 @@ def test_native_pipeline_clean_shutdown_with_inflight(data_root):
                                n_threads=2, depth=3)
     pipe.close()  # close with 3 batches in flight, never fetched
     pipe.close()  # idempotent
+
+
+def test_corrupt_and_oversized_header_jpegs_zero_filled(tmp_path):
+    """Garbage bytes and a corrupt header declaring absurd dimensions must
+    zero-fill (never crash/terminate the process or leak unbounded)."""
+    if not _native_available():
+        pytest.skip("native decoder not built")
+    from PIL import Image
+
+    good = tmp_path / "good.jpg"
+    Image.fromarray(np.full((64, 64, 3), 200, np.uint8)).save(good)
+    garbage = tmp_path / "garbage.jpg"
+    garbage.write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 256)
+    truncated = tmp_path / "trunc.jpg"
+    truncated.write_bytes(good.read_bytes()[:120])  # valid header, cut body
+
+    dec = JpegDecoder(64, 64, n_threads=2)
+    batch = dec.decode_batch([str(garbage), str(good), str(truncated)] * 4)
+    assert batch.shape == (12, 64, 64, 3)
+    for i in range(12):
+        if i % 3 == 1:
+            assert batch[i].mean() > 100  # good frame decoded
+        else:
+            assert np.all(batch[i] == 0)  # failures zero-filled
+
+
+def test_decode_batch_many_small_batches_no_race():
+    """Stress the batch-completion handshake (historically racy: the caller
+    could destroy the stack cv while the last worker still held it)."""
+    if not _native_available():
+        pytest.skip("native decoder not built")
+    import tempfile
+
+    from PIL import Image
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/f.jpg"
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+        dec = JpegDecoder(8, 8, n_threads=4)
+        for _ in range(300):  # tiny fast batches maximize the race window
+            out = dec.decode_batch([p, p])
+            assert out.shape == (2, 8, 8, 3)

@@ -35,8 +35,12 @@ def main(argv=None):
 
     attempt = 0
     while True:
-        ws = Workspace(cfg)
+        ws = None
         try:
+            # construction inside the try: a crash while REBUILDING the
+            # workspace (TPU runtime re-initializing, transient storage
+            # error) is exactly what the requeue exists for
+            ws = Workspace(cfg)
             ws.train()
             return
         except KeyboardInterrupt:
@@ -48,7 +52,8 @@ def main(argv=None):
             print(f"[requeue] attempt {attempt}/{retries} after "
                   f"{type(e).__name__}: {e}")
         finally:
-            ws.close()
+            if ws is not None:
+                ws.close()
 
 
 if __name__ == "__main__":
