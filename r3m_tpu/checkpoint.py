@@ -266,3 +266,30 @@ def import_torch_snapshot_to_state(path: str, state):
         ),
         step=jnp.asarray(bundle.get("global_step", 0), jnp.int32),
     )
+
+
+def export_torch_snapshot(path: str, state, size: int, data_parallel: bool = True) -> str:
+    """Write a TrainState as a REFERENCE-format torch snapshot.
+
+    Produces the pickled ``{"r3m": state_dict, "global_step": int}`` payload
+    of train_representation.py:123-130 (keys ``module.convnet.*`` /
+    ``module.lang_rew.*``), so a TPU-trained model round-trips back into the
+    reference's `load_snapshot` / `load_r3m` torch stack.
+    """
+    import torch
+
+    from r3m_tpu.convert import export_r3m_torch_state
+
+    params = jax.tree_util.tree_map(np.asarray, state.params)
+    stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    sd = export_r3m_torch_state(params, stats, size, data_parallel=data_parallel)
+    payload = {
+        # copy: jax-backed buffers are non-writable, from_numpy would warn
+        # and alias memory the caller may donate
+        "r3m": {k: torch.tensor(np.asarray(v)) for k, v in sd.items()},
+        "global_step": int(np.asarray(state.step)),
+    }
+    tmp = path + ".tmp"
+    torch.save(payload, tmp)
+    os.replace(tmp, path)
+    return path

@@ -152,3 +152,92 @@ def convert_r3m_torch_state(
     if include_language and "lang_rew.pred.0.weight" in sd:
         bundle["lang_rew"] = convert_language_reward(sd)
     return bundle
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: JAX pytrees -> reference-format torch state dicts, so a
+# TPU-trained model can be loaded back by the reference's `load_r3m` /
+# `load_snapshot` (r3m/__init__.py:73, train_representation.py:132-138).
+# ---------------------------------------------------------------------------
+
+
+def _conv_w_inv(w) -> Array:
+    """HWIO -> OIHW."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w, np.float32), (3, 2, 0, 1)))
+
+
+def _bn_out(sd: Dict[str, Array], key: str, p: Mapping, s: Mapping) -> None:
+    sd[f"{key}.weight"] = np.asarray(p["scale"], np.float32)
+    sd[f"{key}.bias"] = np.asarray(p["bias"], np.float32)
+    sd[f"{key}.running_mean"] = np.asarray(s["mean"], np.float32)
+    sd[f"{key}.running_var"] = np.asarray(s["var"], np.float32)
+    # torchvision BN tracks batch count; our pytrees don't. Zero is inert
+    # (only read under momentum=None) but required by strict state loads.
+    sd[f"{key}.num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def export_resnet(
+    params: Mapping, batch_stats: Mapping, size: int, prefix: str = ""
+) -> Dict[str, Array]:
+    """(params, batch_stats) pytrees -> torchvision-style resnet state dict."""
+    from r3m_tpu.models.resnet import RESNET_SPECS
+
+    spec = RESNET_SPECS[size]
+    sd: Dict[str, Array] = {f"{prefix}conv1.weight": _conv_w_inv(params["conv1"]["w"])}
+    _bn_out(sd, f"{prefix}bn1", params["bn1"], batch_stats["bn1"])
+    n_convs = 2 if spec.block == "basic" else 3
+    for stage, num_blocks in enumerate(spec.stage_sizes):
+        layer = f"layer{stage + 1}"
+        for b in range(num_blocks):
+            bp, bs = params[layer][b], batch_stats[layer][b]
+            base = f"{prefix}{layer}.{b}"
+            for ci in range(1, n_convs + 1):
+                sd[f"{base}.conv{ci}.weight"] = _conv_w_inv(bp[f"conv{ci}"]["w"])
+                _bn_out(sd, f"{base}.bn{ci}", bp[f"bn{ci}"], bs[f"bn{ci}"])
+            if "downsample" in bp:
+                sd[f"{base}.downsample.0.weight"] = _conv_w_inv(
+                    bp["downsample"]["conv"]["w"]
+                )
+                _bn_out(
+                    sd, f"{base}.downsample.1",
+                    bp["downsample"]["bn"], bs["downsample"]["bn"],
+                )
+    return sd
+
+
+def export_linear(p: Mapping, key: str, sd: Dict[str, Array]) -> None:
+    """{"w": [in,out], "b": [out]} -> torch nn.Linear entries."""
+    sd[f"{key}.weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(p["w"], np.float32))
+    )
+    if "b" in p:
+        sd[f"{key}.bias"] = np.asarray(p["b"], np.float32)
+
+
+def export_language_reward(lang_rew: Mapping, prefix: str = "lang_rew.") -> Dict:
+    sd: Dict[str, Array] = {}
+    for i, layer in zip((0, 2, 4, 6, 8), lang_rew["layers"]):
+        export_linear(layer, f"{prefix}pred.{i}", sd)
+    return sd
+
+
+def export_r3m_torch_state(
+    params: Mapping,
+    batch_stats: Mapping,
+    size: int,
+    data_parallel: bool = True,
+) -> Dict[str, Array]:
+    """R3M pytrees -> the reference's snapshot state-dict naming.
+
+    `data_parallel=True` adds the ``module.`` prefix the reference's
+    DataParallel wrapper expects (r3m/__init__.py:72-74). With the default
+    inference config (langweight=0 after cleanup_config) the reference R3M
+    holds only `convnet.*` parameters, so a language head is exported only
+    when present AND the caller keeps it — `remove_language_head` strips it
+    at reference load time anyway.
+    """
+    pre = "module." if data_parallel else ""
+    sd = export_resnet(params["convnet"], batch_stats, size, prefix=f"{pre}convnet.")
+    if params.get("lang_rew") is not None:
+        sd.update(export_language_reward(params["lang_rew"], prefix=f"{pre}lang_rew."))
+    return sd

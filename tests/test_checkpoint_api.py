@@ -270,3 +270,55 @@ def test_load_r3m_reproduce_cache_layout(fake_reference_artifacts, tmp_path, mon
     assert load_r3m_reproduce("r3m").outdim == 512
     # unreachable in the reference due to the `modelif` typo — loadable here
     assert load_r3m_reproduce("r3m_nol1").outdim == 512
+
+
+def test_export_torch_snapshot_reference_roundtrip(tmp_path):
+    """TPU-trained weights -> reference-format torch snapshot: strict-loads
+    into a reference-shaped torch model with matching forward outputs, and
+    re-imports into a fresh TrainState bit-exactly."""
+    from r3m_tpu.checkpoint import (
+        export_torch_snapshot,
+        import_torch_snapshot_to_state,
+    )
+    from r3m_tpu.models.resnet import resnet_apply
+
+    cfg = R3MConfig(size=18, langweight=1.0)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = state._replace(step=jnp.asarray(123, jnp.int32))
+    path = str(tmp_path / "snapshot.pt")
+    export_torch_snapshot(path, state, size=18)
+
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    assert payload["global_step"] == 123
+    sd = payload["r3m"]
+    assert any(k.startswith("module.lang_rew.") for k in sd)
+
+    # reference compatibility: strict load into the torch resnet (fc=Identity)
+    tm = torch_resnet(18)
+    conv_sd = {
+        k[len("module.convnet."):]: v
+        for k, v in sd.items()
+        if k.startswith("module.convnet.")
+    }
+    tm.load_state_dict(conv_sd, strict=True)
+    tm.eval()
+    x = np.random.default_rng(0).normal(size=(2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    out, _ = resnet_apply(
+        state.params["convnet"], state.batch_stats,
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), size=18, train=False,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+    # round-trip back into a fresh TPU train state
+    fresh = create_train_state(cfg, jax.random.PRNGKey(1))
+    restored = import_torch_snapshot_to_state(path, fresh)
+    assert int(restored.step) == 123
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        restored.params, state.params,
+    )
