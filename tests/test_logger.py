@@ -73,3 +73,19 @@ def test_log_and_dump_ctx(tmp_path):
     assert float(rows[0]["step"]) == 7.0
     assert float(rows[0]["full_loss"]) == 1.5
     assert float(rows[0]["tcnloss"]) == 0.25
+
+
+def test_tensorboard_sink_writes_events(tmp_path):
+    """use_tb=True must produce an events file (the reference's TB path was
+    dead code — SummaryWriter never imported, logger.py:133)."""
+    import glob
+
+    import pytest
+
+    pytest.importorskip("torch.utils.tensorboard")
+    lg = Logger(str(tmp_path), use_tb=True)
+    # backend is importable, so a None sink means the wiring itself broke
+    assert lg._tb is not None
+    lg.log_metrics({"full_loss": 1.0}, 0, "train")
+    lg._tb.close()  # flush AND release the event-writer thread/file handle
+    assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
