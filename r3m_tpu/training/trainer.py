@@ -116,6 +116,7 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     doaug: str = "none",
+    grad_accum: int = 1,
 ):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
@@ -128,6 +129,13 @@ def make_train_step(
     `doaug` in {"none", "rc", "rctraj"} applies the reference's
     RandomResizedCrop on-device before encoding (data_loaders.py:47-52) —
     trajectory-consistent for "rctraj".
+
+    `grad_accum=N` splits the batch into N sequential microbatches (one
+    `lax.scan`), averages their gradients, and applies ONE Adam update —
+    reference-scale effective batches on hardware that can't fit them.
+    Semantics note: InfoNCE negatives and BN batch statistics are drawn per
+    MICROBATCH (B/N samples), exactly as if the reference ran at the smaller
+    batch size; only the gradient average spans the full batch.
 
     When `mesh` is given the returned function carries in/out shardings
     (params replicated, batch sharded on dp) — call it on globally-shaped
@@ -144,18 +152,57 @@ def make_train_step(
                 aug_key, batch["images"], out_size=cfg.image_size, mode=doaug
             )
         bs = batch["images"].shape[0]
-        perms = draw_permutations(key, bs, cfg.num_negatives)
 
-        def loss_fn(params):
-            loss, metrics, new_stats = _encode_and_loss(
-                cfg, params, state.batch_stats, bert_params, batch, perms, True
+        if grad_accum > 1:
+            if bs % grad_accum:
+                raise ValueError(
+                    f"batch size {bs} not divisible by grad_accum={grad_accum}"
+                )
+            micro_bs = bs // grad_accum
+            micro = {
+                k: jnp.reshape(v, (grad_accum, micro_bs) + v.shape[1:])
+                for k, v in batch.items()
+            }
+            keys = jax.random.split(key, grad_accum)
+
+            def one_micro(carry, xs):
+                stats, gsum = carry
+                k, mb = xs
+                perms = draw_permutations(k, micro_bs, cfg.num_negatives)
+
+                def loss_fn(params):
+                    loss, metrics, new_stats = _encode_and_loss(
+                        cfg, params, stats, bert_params, mb, perms, True
+                    )
+                    return loss, (metrics, new_stats)
+
+                (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                return (new_stats, gsum), metrics
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, gsum), metrics_seq = jax.lax.scan(
+                one_micro, (state.batch_stats, zeros), (keys, micro)
             )
-            return loss, (metrics, new_stats)
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            metrics = {
+                k: jnp.mean(v, axis=0) for k, v in metrics_seq.items()
+            }
+        else:
+            perms = draw_permutations(key, bs, cfg.num_negatives)
 
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        metrics = dict(metrics)
+            def loss_fn(params):
+                loss, metrics, new_stats = _encode_and_loss(
+                    cfg, params, state.batch_stats, bert_params, batch, perms, True
+                )
+                return loss, (metrics, new_stats)
+
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            metrics = dict(metrics)
         # global gradient norm: cheap (one reduce) and the single most
         # useful training-health signal the reference lacks
         metrics["grad_norm"] = optax.global_norm(grads)

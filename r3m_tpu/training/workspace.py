@@ -162,7 +162,7 @@ class Workspace:
         print("Initializing Model")
         self.train_step = make_train_step(
             self.model_cfg, bert_params=self.bert_params, mesh=self.mesh,
-            doaug=doaug,
+            doaug=doaug, grad_accum=int(cfg.get("grad_accum", 1) or 1),
         )
         self.eval_step = make_eval_step(
             self.model_cfg, bert_params=self.bert_params, mesh=self.mesh

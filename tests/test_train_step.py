@@ -137,3 +137,80 @@ def test_bert_params_numpy_leaves(bert_params):
     step = make_train_step(CFG, bert_params=np_bert, donate=False)
     _, metrics = step(state, _fake_batch(np.random.default_rng(5), bs=4))
     assert np.isfinite(float(metrics["full_loss"]))
+
+
+def test_grad_accum_matches_manual_microbatch_average(bert_params):
+    """grad_accum=2 must equal the hand-computed two-microbatch procedure:
+    same per-microbatch keys/BN-stat threading, averaged gradients, one
+    Adam update."""
+    import optax
+
+    from r3m_tpu.losses import draw_permutations
+    from r3m_tpu.training.trainer import _encode_and_loss, make_optimizer
+
+    rng = np.random.default_rng(2)
+    batch = _fake_batch(rng, bs=8)
+    state = create_train_state(CFG, jax.random.PRNGKey(4))
+    step = make_train_step(
+        CFG, bert_params=bert_params, donate=False, grad_accum=2
+    )
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["full_loss"]))
+    assert int(new_state.step) == 1
+
+    # manual replication of the microbatch law
+    key, _aug, _new = jax.random.split(state.key, 3)
+    keys = jax.random.split(key, 2)
+    stats = state.batch_stats
+    gsum = None
+    losses = []
+    bert_dev = jax.tree_util.tree_map(jnp.asarray, bert_params)
+    for i in range(2):
+        mb = {k: jnp.asarray(v)[i * 4:(i + 1) * 4] for k, v in batch.items()}
+        perms = draw_permutations(keys[i], 4, CFG.num_negatives)
+
+        def loss_fn(params):
+            loss, m, new_stats = _encode_and_loss(
+                CFG, params, stats, bert_dev, mb, perms, True
+            )
+            return loss, (m, new_stats)
+
+        (loss, (m, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        losses.append(float(m["full_loss"]))
+        gsum = grads if gsum is None else jax.tree_util.tree_map(
+            jnp.add, gsum, grads
+        )
+    grads = jax.tree_util.tree_map(lambda g: g / 2, gsum)
+    tx = make_optimizer(CFG)
+    updates, _ = tx.update(grads, state.opt_state, state.params)
+    expect_params = optax.apply_updates(state.params, updates)
+
+    np.testing.assert_allclose(
+        float(metrics["full_loss"]), np.mean(losses), rtol=1e-5
+    )
+    # atol ~ 3*lr: Adam normalizes gradients, so compile-order float noise
+    # on a near-zero gradient can flip one element's update by +-lr
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-4
+        ),
+        new_state.params, expect_params,
+    )
+    # BN stats threaded through both microbatches
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        new_state.batch_stats, stats,
+    )
+
+
+def test_grad_accum_rejects_indivisible_batch(bert_params):
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    step = make_train_step(
+        CFG, bert_params=bert_params, donate=False, grad_accum=3
+    )
+    with pytest.raises(ValueError, match="grad_accum"):
+        step(state, _fake_batch(np.random.default_rng(0), bs=8))
