@@ -227,6 +227,44 @@ class Workspace:
             return shard_batch(self.mesh, batch)
         return jax.tree_util.tree_map(jnp.asarray, batch)
 
+    def _device_prefetch(self, pipe, depth: int = 2):
+        """Generator: host batches placed onto the device N steps ahead.
+
+        The host->device transfer can block (slowest on tunneled/remote
+        devices, where a 24 MB uint8 batch dominated the measured step) —
+        running `_place` in a side thread overlaps it with the device step
+        instead of paying it inside the training loop's sample time.
+        """
+        import queue as _queue
+        import threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def run():
+            try:
+                while not stop.is_set():
+                    placed = self._place(next(pipe))
+                    while not stop.is_set():
+                        try:
+                            q.put(placed, timeout=0.25)
+                            break
+                        except _queue.Full:
+                            continue
+            except BaseException as e:  # surfaced on the next pull
+                q.put(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise RuntimeError("device prefetch failed") from item
+                yield item
+        finally:
+            stop.set()
+
     def train(self):
         cfg = self.cfg
         until = Until(cfg.get("train_steps", 2_000_000))
@@ -245,12 +283,15 @@ class Workspace:
         prof_n = int(cfg.get("profile_steps", 5))
         prof_active = False
         pending = []  # [(step, device metrics dict, sample_s, update_s)]
+        placed_batches = self._device_prefetch(
+            self.train_pipe, depth=int(cfg.get("device_prefetch", 2))
+        )
         while until(self.global_step):
             if prof_dir and not prof_active and self.global_step == prof_start:
                 jax.profiler.start_trace(prof_dir)
                 prof_active = True
             t0 = time.time()
-            batch = self._place(next(self.train_pipe))
+            batch = next(placed_batches)
             t1 = time.time()
             self.state, metrics = self.train_step(self.state, batch)
             self._host_step += 1
