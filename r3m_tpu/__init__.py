@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+from r3m_tpu.convert import remove_language_head  # noqa: F401 (parity export)
 from r3m_tpu.models.r3m import (  # noqa: F401
     R3MConfig,
     R3MEncoder,
@@ -33,6 +34,7 @@ __all__ = [
     "load_r3m_reproduce",
     "r3m_embed",
     "r3m_init",
+    "remove_language_head",
     "sim",
 ]
 
