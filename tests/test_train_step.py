@@ -214,3 +214,30 @@ def test_grad_accum_rejects_indivisible_batch(bert_params):
     )
     with pytest.raises(ValueError, match="grad_accum"):
         step(state, _fake_batch(np.random.default_rng(0), bs=8))
+
+
+def test_grad_accum_on_mesh_matches_single_device(bert_params):
+    """grad_accum=2 under the 8-device dp mesh: the [B]->[A, B/A] reshape
+    must stay a valid GSPMD program with single-device-identical results."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(5)
+
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    state_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())), state)
+    step = make_train_step(
+        CFG, bert_params=bert_params, mesh=mesh, donate=False, grad_accum=2
+    )
+    batch = shard_batch(mesh, _fake_batch(rng, bs=16))
+    state2, metrics = step(state_sh, batch)
+    assert np.isfinite(float(metrics["full_loss"]))
+    assert int(state2.step) == 1
+
+    step1 = make_train_step(
+        CFG, bert_params=bert_params, donate=False, grad_accum=2
+    )
+    _, metrics1 = step1(state, _fake_batch(np.random.default_rng(5), bs=16))
+    np.testing.assert_allclose(
+        float(metrics["full_loss"]), float(metrics1["full_loss"]), rtol=2e-4
+    )
