@@ -89,13 +89,17 @@ def orthogonal_init(key, shape, gain: float = 1.0, dtype=jnp.float32):
 
 
 def accuracy(output: jax.Array, target: jax.Array, topk: Sequence[int] = (1,)):
-    """Top-k accuracy over logits [B, C] (utils.py:63-76)."""
+    """Top-k accuracy over logits [B, C] (utils.py:63-76).
+
+    Returns fractions in [0, 1], matching the reference's
+    ``correct_k.mul_(1.0 / batch_size)`` (utils.py:75) — NOT percent.
+    """
     maxk = max(topk)
     pred = jnp.argsort(-output, axis=-1)[:, :maxk]  # [B, maxk]
     correct = pred == target[:, None]
     res = []
     for k in topk:
-        res.append(jnp.mean(jnp.any(correct[:, :k], axis=-1).astype(jnp.float32)) * 100.0)
+        res.append(jnp.mean(jnp.any(correct[:, :k], axis=-1).astype(jnp.float32)))
     return res
 
 

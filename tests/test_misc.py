@@ -35,8 +35,8 @@ def test_accuracy_topk():
     logits = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
     target = jnp.asarray([1, 2])
     top1, top2 = accuracy(logits, target, topk=(1, 2))
-    assert float(top1) == 50.0
-    assert float(top2) == 50.0  # row 1: top-2 is {0,1} (stable tie), target 2 missed
+    assert float(top1) == 0.5  # fraction, not percent (reference utils.py:75)
+    assert float(top2) == 0.5  # row 1: top-2 is {0,1} (stable tie), target 2 missed
 
 
 def test_soft_update_and_eval_mode():
