@@ -241,3 +241,34 @@ def test_grad_accum_on_mesh_matches_single_device(bert_params):
     np.testing.assert_allclose(
         float(metrics["full_loss"]), float(metrics1["full_loss"]), rtol=2e-4
     )
+
+
+def test_multichip_hlo_collective_structure(bert_params):
+    """Compiled-program guarantees for the dp mesh (SURVEY.md §5 comm row).
+
+    The optimized SPMD module must (a) reduce gradients across chips
+    (all-reduce — DataParallel's implicit grad sum), (b) exchange
+    *embeddings* across chips so cross-video negatives span the global
+    batch (trainer.py:87-92 semantics), and (c) never all-gather the raw
+    image tensor — the conv stack, the FLOPs, stays batch-sharded.
+    """
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    state = replicate(mesh, state)
+    step = make_train_step(CFG, bert_params=bert_params, mesh=mesh, donate=False)
+    batch = shard_batch(mesh, _fake_batch(rng, bs=16))
+
+    hlo = step.lower(state, batch).compile().as_text()
+
+    assert "all-reduce" in hlo, "gradient reduction collective missing"
+    assert any(
+        c in hlo for c in ("all-gather", "all-to-all", "collective-permute")
+    ), "no cross-chip exchange for global-batch negatives"
+    # image tensors keep their [*, H, W, 3] trailing dims through the
+    # (NHWC) encoder input; no collective may materialize one.
+    for line in hlo.splitlines():
+        if any(c in line for c in ("all-gather(", "all-gather-start(")):
+            assert "32,32,3]" not in line.replace(" ", ""), (
+                "raw images all-gathered across the mesh:\n" + line
+            )
