@@ -140,6 +140,47 @@ def save_train_snapshot(work_dir: str, state, cfg=None, keep_step_copy=True) -> 
     return rolling
 
 
+class AsyncSnapshotWriter:
+    """Overlap snapshot serialization + disk writes with training.
+
+    The reference's `save_snapshot` (train_representation.py:123-130)
+    blocks the loop for the full torch.save; here only the device->host
+    copy is synchronous — it MUST happen before the next step is
+    dispatched, because the jitted step donates the state buffers — and
+    the (dominant) npz serialization + write runs in a worker thread.
+    At most one write is in flight; a failed write surfaces on the next
+    submit()/wait() rather than being silently dropped.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._err: Optional[BaseException] = None
+
+    def submit(self, fn) -> None:
+        """Run `fn()` (a fully host-side write) in the background."""
+        import threading
+
+        self.wait()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # surfaced on next wait()
+                self._err = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Join the in-flight write; raise if it failed."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async snapshot write failed") from err
+
+
 def step_snapshots(work_dir: str):
     """Step-numbered snapshots in `work_dir`, newest first: [(step, path)].
 

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from r3m_tpu.checkpoint import (
+    AsyncSnapshotWriter,
     import_torch_snapshot_to_state,
     load_snapshot,
     load_train_snapshot,
@@ -187,6 +188,13 @@ class Workspace:
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
         self._host_step = None  # lazily synced from device, then host-tracked
+        # snapshot writes overlap training (sync device->host copy only);
+        # async_snapshot=false restores fully blocking saves
+        self._snap_writer = (
+            AsyncSnapshotWriter()
+            if bool(cfg.get("async_snapshot", True))
+            else None
+        )
 
     # ------------------------------------------------------------------
     def _auto_resume(self, state):
@@ -334,6 +342,8 @@ class Workspace:
             print(f"profile trace written: {cfg.get('profile_dir')}")
         self._flush_train_metrics(pending)
         self.logger.dump(self.global_step)
+        if self._snap_writer is not None:
+            self._snap_writer.wait()  # all snapshots durable before return
 
     def _flush_train_metrics(self, pending):
         """One batched D2H fetch for a window of per-step metric dicts."""
@@ -349,11 +359,22 @@ class Workspace:
                 self.logger.dump(step, ty="train")
 
     def save_snapshot(self) -> str:
-        path = save_train_snapshot(self.work_dir, self.state, self.model_cfg)
         keep = int(self.cfg.get("keep_snapshots", 0))
-        if keep > 0:
-            self._prune_snapshots(keep)
-        return path
+        if self._snap_writer is None:
+            path = save_train_snapshot(self.work_dir, self.state, self.model_cfg)
+            if keep > 0:
+                self._prune_snapshots(keep)
+            return path
+        # Host-copy NOW: the next dispatched step donates these buffers.
+        host_state = jax.device_get(self.state)
+
+        def write():
+            save_train_snapshot(self.work_dir, host_state, self.model_cfg)
+            if keep > 0:
+                self._prune_snapshots(keep)
+
+        self._snap_writer.submit(write)
+        return os.path.join(self.work_dir, "snapshot.npz")
 
     def _prune_snapshots(self, keep: int):
         """Keep only the newest `keep` per-step snapshots (rolling one stays).
@@ -368,5 +389,7 @@ class Workspace:
                 pass
 
     def close(self):
+        if self._snap_writer is not None:
+            self._snap_writer.wait()
         self.train_pipe.close()
         self.val_pipe.close()

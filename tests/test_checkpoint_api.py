@@ -322,3 +322,35 @@ def test_export_torch_snapshot_reference_roundtrip(tmp_path):
         ),
         restored.params, state.params,
     )
+
+
+def test_async_snapshot_writer_overlaps_and_surfaces_errors(tmp_path):
+    """AsyncSnapshotWriter: writes land, one in flight, failures raise."""
+    import threading
+    import time as _time
+
+    from r3m_tpu.checkpoint import AsyncSnapshotWriter
+
+    w = AsyncSnapshotWriter()
+    done = threading.Event()
+
+    def slow_write():
+        _time.sleep(0.1)
+        (tmp_path / "a.txt").write_text("ok")
+        done.set()
+
+    w.submit(slow_write)
+    assert not done.is_set()  # returned before the write finished
+    w.wait()
+    assert (tmp_path / "a.txt").read_text() == "ok"
+
+    def bad_write():
+        raise OSError("disk full")
+
+    w.submit(bad_write)
+    with pytest.raises(RuntimeError, match="async snapshot"):
+        w.wait()
+    # the error is consumed: the writer is reusable afterwards
+    w.submit(lambda: (tmp_path / "b.txt").write_text("ok"))
+    w.wait()
+    assert (tmp_path / "b.txt").exists()
