@@ -119,3 +119,17 @@ class R3MRewardModel:
         return self.get_reward(
             self.embed(images0), self.embed(images_t), sentences
         )
+
+    def reward_curve(self, frames, sentence: str) -> jax.Array:
+        """Per-frame progress rewards along one trajectory.
+
+        The paper's qualitative evaluation (arXiv:2203.12601 §4.3: reward
+        curves over task videos): score every frame against the FIRST frame
+        under one instruction, `r_t = R(e_0, e_t, l)`. `frames` is
+        [T, C, H, W] in [0, 255]; returns [T] scores (index 0 is the
+        degenerate (e_0, e_0) score — a natural baseline for the curve).
+        One batched encoder pass + one batched MLP pass.
+        """
+        emb = self.embed(frames)
+        e0 = jnp.broadcast_to(emb[0], emb.shape)
+        return self.get_reward(e0, emb, [sentence] * int(emb.shape[0]))

@@ -236,40 +236,58 @@ class Workspace:
         return jax.tree_util.tree_map(jnp.asarray, batch)
 
     def _device_prefetch(self, pipe, depth: int = 2):
-        """Generator: host batches placed onto the device N steps ahead.
+        """Generator: host batches placed onto the device up to N steps ahead.
 
         The host->device transfer can block (slowest on tunneled/remote
         devices, where a 24 MB uint8 batch dominated the measured step) —
         running `_place` in a side thread overlaps it with the device step
         instead of paying it inside the training loop's sample time.
+
+        At most `depth` placed batches exist at once (the producer waits
+        for queue space BEFORE placing, so HBM headroom can be sized to
+        exactly N batches). `depth <= 0` disables prefetching entirely.
         """
+        if depth <= 0:
+            for batch in pipe:
+                yield self._place(batch)
+            return
+
         import queue as _queue
         import threading
 
         q: "_queue.Queue" = _queue.Queue(maxsize=depth)
         stop = threading.Event()
+        err: list = []  # producer failure, surfaced on the next pull
 
         def run():
             try:
                 while not stop.is_set():
-                    placed = self._place(next(pipe))
-                    while not stop.is_set():
-                        try:
-                            q.put(placed, timeout=0.25)
-                            break
-                        except _queue.Full:
-                            continue
-            except BaseException as e:  # surfaced on the next pull
-                q.put(e)
+                    host = next(pipe)  # host memory only
+                    # reserve HBM before placing: never hold an extra
+                    # placed batch outside the queue (single producer, so
+                    # a non-full queue cannot refill under us)
+                    while not stop.is_set() and q.full():
+                        stop.wait(0.25)
+                    if stop.is_set():
+                        break
+                    q.put(self._place(host))
+            except StopIteration:
+                pass  # finite pipe drained — clean exit
+            except BaseException as e:
+                err.append(e)
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
         try:
             while True:
-                item = q.get()
-                if isinstance(item, BaseException):
-                    raise RuntimeError("device prefetch failed") from item
-                yield item
+                try:
+                    yield q.get(timeout=1.0)
+                except _queue.Empty:
+                    if err:
+                        raise RuntimeError("device prefetch failed") from err[0]
+                    if not t.is_alive():  # clean producer exit (pipe ended)
+                        return
+                    continue
         finally:
             stop.set()
 
@@ -284,6 +302,20 @@ class Workspace:
         # host never blocks on per-scalar D2H round-trips (expensive on
         # tunneled TPUs) and the device pipeline stays deep.
         flush_n = int(cfg.get("metric_flush", 10))
+        placed_batches = self._device_prefetch(
+            self.train_pipe, depth=int(cfg.get("device_prefetch", 2))
+        )
+        try:
+            self._train_loop(placed_batches, until, every, flush_n)
+        finally:
+            # deterministic prefetch shutdown (don't rely on GC closing the
+            # generator) — releases the producer thread + its HBM batches
+            placed_batches.close()
+        if self._snap_writer is not None:
+            self._snap_writer.wait()  # all snapshots durable before return
+
+    def _train_loop(self, placed_batches, until, every, flush_n):
+        cfg = self.cfg
         prof_dir = cfg.get("profile_dir") or ""
         # trace steps [resume+10, resume+10+profile_steps) — relative, so
         # resumed runs (load_snap / auto-resume) still capture a trace
@@ -291,9 +323,6 @@ class Workspace:
         prof_n = int(cfg.get("profile_steps", 5))
         prof_active = False
         pending = []  # [(step, device metrics dict, sample_s, update_s)]
-        placed_batches = self._device_prefetch(
-            self.train_pipe, depth=int(cfg.get("device_prefetch", 2))
-        )
         while until(self.global_step):
             if prof_dir and not prof_active and self.global_step == prof_start:
                 jax.profiler.start_trace(prof_dir)
@@ -342,8 +371,6 @@ class Workspace:
             print(f"profile trace written: {cfg.get('profile_dir')}")
         self._flush_train_metrics(pending)
         self.logger.dump(self.global_step)
-        if self._snap_writer is not None:
-            self._snap_writer.wait()  # all snapshots durable before return
 
     def _flush_train_metrics(self, pending):
         """One batched D2H fetch for a window of per-step metric dicts."""
@@ -359,6 +386,13 @@ class Workspace:
                 self.logger.dump(step, ty="train")
 
     def save_snapshot(self) -> str:
+        """Snapshot the current state; returns the rolling snapshot path.
+
+        With `async_snapshot` (the default) the returned path is the write
+        DESTINATION — the file lands after the background write completes.
+        Call `flush_snapshots()` (or let `train()`/`close()` do it) before
+        reading the file back.
+        """
         keep = int(self.cfg.get("keep_snapshots", 0))
         if self._snap_writer is None:
             path = save_train_snapshot(self.work_dir, self.state, self.model_cfg)
@@ -388,8 +422,18 @@ class Workspace:
             except OSError:
                 pass
 
-    def close(self):
+    def flush_snapshots(self):
+        """Block until the in-flight snapshot write (if any) is durable."""
         if self._snap_writer is not None:
             self._snap_writer.wait()
+
+    def close(self):
+        # cleanup must not raise: close() runs in finally blocks (e.g. the
+        # --retries requeue loop) where an exception would mask the original
+        # error and skip pipeline shutdown
+        try:
+            self.flush_snapshots()
+        except Exception as e:
+            print(f"[workspace] async snapshot write failed: {e!r}")
         self.train_pipe.close()
         self.val_pipe.close()

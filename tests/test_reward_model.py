@@ -62,3 +62,18 @@ def test_reward_requires_language_head(artifacts, tmp_path):
     snap = save_train_snapshot(str(tmp_path), state, cfg, keep_step_copy=False)
     with pytest.raises(ValueError, match="language head"):
         R3MRewardModel.from_snapshot(snap, bert, vocab)
+
+
+def test_reward_curve_over_trajectory(artifacts):
+    snap, bert, vocab = artifacts
+    rm = R3MRewardModel.from_snapshot(snap, bert, vocab)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, size=(6, 3, 32, 32)).astype(np.float32)
+    curve = rm.reward_curve(frames, "open the door")
+    assert curve.shape == (6,) and np.all(np.isfinite(np.asarray(curve)))
+    # r_0 must equal the degenerate (e0, e0) score from the pairwise API
+    e0 = rm.embed(frames[:1])
+    r00 = rm.get_reward(e0, e0, ["open the door"])
+    np.testing.assert_allclose(
+        np.asarray(curve)[0], np.asarray(r00)[0], rtol=1e-5
+    )

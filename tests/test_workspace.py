@@ -295,3 +295,65 @@ def test_profile_trace_closed_when_training_ends_early(dataset_root, tmp_path):
 
     jax.profiler.start_trace(str(tmp_path / "t2"))
     jax.profiler.stop_trace()
+
+
+class _PrefetchHarness:
+    """Minimal Workspace stand-in for exercising _device_prefetch."""
+
+    def __init__(self):
+        self.mesh = None
+        self.placed = 0
+
+    def _place(self, batch):
+        self.placed += 1
+        return batch
+
+    _device_prefetch = __import__(
+        "r3m_tpu.training.workspace", fromlist=["Workspace"]
+    ).Workspace._device_prefetch
+
+
+def test_device_prefetch_depth_zero_disables_thread():
+    import threading
+
+    ws = _PrefetchHarness()
+    before = threading.active_count()
+    gen = ws._device_prefetch(iter([{"x": 1}, {"x": 2}]), depth=0)
+    assert [b["x"] for b in gen] == [1, 2]
+    assert ws.placed == 2
+    assert threading.active_count() == before  # inline path, no producer
+
+
+def test_device_prefetch_bounds_resident_batches():
+    import itertools
+    import time
+
+    ws = _PrefetchHarness()
+    gen = ws._device_prefetch(({"i": i} for i in itertools.count()), depth=2)
+    first = next(gen)
+    assert first["i"] == 0
+    deadline = time.time() + 2.0
+    while ws.placed < 3 and time.time() < deadline:
+        time.sleep(0.01)
+    time.sleep(0.3)  # producer must now be parked on q.full()
+    # 1 yielded + exactly `depth` in the queue; never depth+1 resident
+    assert ws.placed == 3
+    gen.close()
+
+
+def test_device_prefetch_surfaces_producer_error_and_clean_end():
+    ws = _PrefetchHarness()
+
+    def bad_pipe():
+        yield {"ok": True}
+        raise OSError("decode failed")
+
+    gen = ws._device_prefetch(bad_pipe(), depth=2)
+    assert next(gen)["ok"]
+    with pytest.raises(RuntimeError, match="device prefetch"):
+        for _ in gen:
+            pass
+
+    ws2 = _PrefetchHarness()
+    gen2 = ws2._device_prefetch(iter([{"a": 1}]), depth=2)
+    assert [b["a"] for b in gen2] == [1]  # finite pipe ends without error

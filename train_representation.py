@@ -14,7 +14,22 @@ import os
 import sys
 
 
+def _honor_jax_platforms_env():
+    """Re-apply JAX_PLATFORMS after the fact.
+
+    Some images initialize JAX from sitecustomize at interpreter start,
+    which consumes the env var before user scripts run — `JAX_PLATFORMS=cpu
+    python train_representation.py` would silently land on the accelerator.
+    jax.config still wins because backends initialize lazily.
+    """
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def main(argv=None):
+    _honor_jax_platforms_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     from r3m_tpu.training.workspace import Workspace
     from r3m_tpu.utils.config import load_config
