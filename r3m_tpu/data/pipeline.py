@@ -25,6 +25,88 @@ from r3m_tpu.data.ego4d import FrameBatcher
 from r3m_tpu.text.tokenizer import WordPieceTokenizer
 
 
+class ProducerQueue:
+    """Single background producer feeding a bounded queue (shared machinery
+    for the host data pipeline and the workspace's device-prefetch stage).
+
+    `source` items are pulled and `transform`ed in the producer thread;
+    errors surface on the consumer's next pull, `StopIteration` from the
+    source ends iteration cleanly, and `close()` joins with a timeout.
+    With `reserve_first=True` the producer waits for queue space BEFORE
+    transforming — for transforms that pin scarce memory (device
+    placement): at most `maxsize` transformed items exist at once.
+    """
+
+    def __init__(
+        self,
+        source,
+        maxsize: int = 2,
+        transform=None,
+        reserve_first: bool = False,
+        name: str = "producer",
+    ):
+        self._source = iter(source)
+        self._transform = transform
+        self._reserve_first = reserve_first
+        self._name = name
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, maxsize))
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        try:
+            while not self._stop.is_set():
+                item = next(self._source)
+                if self._reserve_first:
+                    # single producer: a non-full queue cannot refill under us
+                    while not self._stop.is_set() and self._q.full():
+                        self._stop.wait(0.25)
+                    if self._stop.is_set():
+                        break
+                if self._transform is not None:
+                    item = self._transform(item)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+        except StopIteration:
+            pass  # finite source drained — clean exit
+        except BaseException as e:  # surfaced on next __next__
+            self._err = e
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            # drain already-produced items before surfacing a late failure
+            try:
+                return self._q.get_nowait()
+            except queue.Empty:
+                pass
+            if self._err is not None:
+                raise RuntimeError(f"{self._name} failed") from self._err
+            try:
+                return self._q.get(timeout=1.0)
+            except queue.Empty:
+                if not self._thread.is_alive() and self._q.empty():
+                    # producer exited (cleanly, or close() raced this call)
+                    if self._err is not None:
+                        continue  # surface the error, not StopIteration
+                    raise StopIteration
+                continue
+
+    def close(self) -> bool:
+        """Stop + join the producer; False if it didn't exit in time."""
+        self._stop.set()
+        self._thread.join(timeout=30.0)
+        return not self._thread.is_alive()
+
+
 class DataPipeline:
     """Producer-thread pipeline; iterate to get batch dicts.
 
@@ -44,11 +126,14 @@ class DataPipeline:
         self.batcher = batcher
         self.tokenizer = tokenizer
         self.lang_max_len = lang_max_len
-        self._q: "queue.Queue[Dict]" = queue.Queue(maxsize=prefetch)
-        self._stop = threading.Event()
-        self._err: Optional[BaseException] = None
-        self._thread = threading.Thread(target=self._produce, daemon=True)
-        self._thread.start()
+
+        def batches():
+            while True:
+                yield self._make_batch()
+
+        self._pq = ProducerQueue(
+            batches(), maxsize=prefetch, name="data pipeline producer"
+        )
 
     def _make_batch(self) -> Dict:
         clips, captions = self.batcher.next_batch()
@@ -62,39 +147,14 @@ class DataPipeline:
             )
         return batch
 
-    def _produce(self):
-        try:
-            while not self._stop.is_set():
-                batch = self._make_batch()
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(batch, timeout=0.25)
-                        break
-                    except queue.Full:
-                        continue
-        except BaseException as e:  # surfaced on next __next__
-            self._err = e
-
     def __iter__(self) -> Iterator[Dict]:
         return self
 
     def __next__(self) -> Dict:
-        while True:
-            if self._err is not None:
-                raise RuntimeError("data pipeline producer failed") from self._err
-            try:
-                return self._q.get(timeout=1.0)
-            except queue.Empty:
-                if not self._thread.is_alive() and self._q.empty():
-                    # producer exited cleanly (close() raced this call, or a
-                    # finished thread with no error) — don't spin forever
-                    raise StopIteration
-                continue
+        return next(self._pq)
 
     def close(self):
-        self._stop.set()
-        self._thread.join(timeout=30.0)
-        if self._thread.is_alive():
+        if not self._pq.close():
             # Producer wedged (e.g. decode stuck on bad storage). Freeing
             # native batcher state now would be a use-after-free under the
             # still-running thread — deliberately LEAK it instead.

@@ -252,44 +252,21 @@ class Workspace:
                 yield self._place(batch)
             return
 
-        import queue as _queue
-        import threading
+        from r3m_tpu.data.pipeline import ProducerQueue
 
-        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
-        stop = threading.Event()
-        err: list = []  # producer failure, surfaced on the next pull
-
-        def run():
-            try:
-                while not stop.is_set():
-                    host = next(pipe)  # host memory only
-                    # reserve HBM before placing: never hold an extra
-                    # placed batch outside the queue (single producer, so
-                    # a non-full queue cannot refill under us)
-                    while not stop.is_set() and q.full():
-                        stop.wait(0.25)
-                    if stop.is_set():
-                        break
-                    q.put(self._place(host))
-            except StopIteration:
-                pass  # finite pipe drained — clean exit
-            except BaseException as e:
-                err.append(e)
-
-        t = threading.Thread(target=run, daemon=True)
-        t.start()
+        # reserve_first: HBM is reserved (queue space) BEFORE placing, so
+        # at most `depth` placed batches are ever resident
+        pq = ProducerQueue(
+            pipe,
+            maxsize=depth,
+            transform=self._place,
+            reserve_first=True,
+            name="device prefetch",
+        )
         try:
-            while True:
-                try:
-                    yield q.get(timeout=1.0)
-                except _queue.Empty:
-                    if err:
-                        raise RuntimeError("device prefetch failed") from err[0]
-                    if not t.is_alive():  # clean producer exit (pipe ended)
-                        return
-                    continue
+            yield from pq
         finally:
-            stop.set()
+            pq.close()
 
     def train(self):
         cfg = self.cfg
