@@ -43,8 +43,19 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: R3MConfig) -> optax.GradientTransformation:
-    """Adam with torch defaults (betas 0.9/0.999, eps 1e-8) — models_r3m.py:76."""
-    return optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
+    """Adam with torch defaults (betas 0.9/0.999, eps 1e-8) — models_r3m.py:76.
+
+    `cfg.lr` may also be a schedule string in the reference's `schedule()`
+    grammar (utils.py:143-163, e.g. 'linear(1e-4,1e-5,2e6)'), evaluated
+    per optimizer step — the reference carries that parser but never wires
+    it to its Adam; here it's a first-class config option.
+    """
+    lr = cfg.lr
+    if isinstance(lr, str):
+        from r3m_tpu.utils.misc import schedule_fn
+
+        lr = schedule_fn(lr)
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
 
 def create_train_state(

@@ -148,7 +148,16 @@ def agent_to_r3m_config(agent: Dict) -> "Any":
         # (YAML 1.1 requires a dot); coerce to the dataclass field type.
         ftype = fields[k].type
         if isinstance(v, str) and ftype in ("float", float):
-            v = float(v)
+            try:
+                v = float(v)
+            except ValueError:
+                if k != "lr":
+                    raise
+                # lr accepts schedule strings ('linear(...)'/'step_linear(...)'
+                # — the reference's schedule() grammar); validate it parses
+                from r3m_tpu.utils.misc import schedule_fn
+
+                schedule_fn(v)
         elif isinstance(v, str) and ftype in ("int", int):
             v = int(float(v))
         kwargs[k] = v

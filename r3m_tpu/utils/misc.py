@@ -134,6 +134,48 @@ def schedule(schdl, step: int) -> float:
     raise NotImplementedError(schdl)
 
 
+def schedule_fn(schdl):
+    """Compile a `schedule()` string into a jit-traceable step->lr function.
+
+    Same grammar as `schedule` (utils.py:143-163): a float constant,
+    'linear(init,final,duration)', or 'step_linear(init,final1,duration1,
+    final2,duration2)'. The string is parsed ONCE here; the returned
+    closure uses jnp ops only, so it can serve as an optax learning-rate
+    schedule inside a jitted train step.
+    """
+    try:
+        const = float(schdl)
+        return lambda step: jnp.asarray(const, jnp.float32)
+    except ValueError:
+        pass
+    match = re.match(r"linear\((.+),(.+),(.+)\)", schdl)
+    if match:
+        init, final, duration = (float(g) for g in match.groups())
+
+        def linear(step):
+            mix = jnp.clip(step / duration, 0.0, 1.0)
+            return (1.0 - mix) * init + mix * final
+
+        return linear
+    match = re.match(r"step_linear\((.+),(.+),(.+),(.+),(.+)\)", schdl)
+    if match:
+        init, final1, duration1, final2, duration2 = (
+            float(g) for g in match.groups()
+        )
+
+        def step_linear(step):
+            mix1 = jnp.clip(step / duration1, 0.0, 1.0)
+            mix2 = jnp.clip((step - duration1) / duration2, 0.0, 1.0)
+            return jnp.where(
+                step <= duration1,
+                (1.0 - mix1) * init + mix1 * final1,
+                (1.0 - mix2) * final1 + mix2 * final2,
+            )
+
+        return step_linear
+    raise NotImplementedError(schdl)
+
+
 class eval_mode:
     """API-parity shim for the reference's `eval_mode` context
     (utils.py:18-31). Functional JAX models have no global train/eval

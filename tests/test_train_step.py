@@ -272,3 +272,35 @@ def test_multichip_hlo_collective_structure(bert_params):
             assert "32,32,3]" not in line.replace(" ", ""), (
                 "raw images all-gathered across the mesh:\n" + line
             )
+
+
+def test_lr_schedule_string(bert_params):
+    """cfg.lr as a schedule string drives per-step Adam learning rates."""
+    import dataclasses
+
+    from r3m_tpu.utils.misc import schedule, schedule_fn
+
+    # jit-traceable schedule matches the reference-grammar parser
+    for s in ("0.003", "linear(1.0,0.0,10)", "step_linear(1.0,0.5,10,0.0,10)"):
+        for step in (0, 5, 10, 15, 25):
+            np.testing.assert_allclose(
+                float(jax.jit(schedule_fn(s))(jnp.asarray(step, jnp.float32))),
+                schedule(s, step),
+                rtol=1e-6,
+            )
+
+    # lr hits 0 after `duration` steps: the second update is a no-op
+    cfg = dataclasses.replace(CFG, lr="linear(0.01,0.0,1)", langweight=0.0)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=False)
+    batch = _fake_batch(np.random.default_rng(0), bs=4)
+    s1, _ = step(state, batch)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, s1.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    s2, _ = step(s1, batch)
+    moved2 = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved2)) == 0.0
