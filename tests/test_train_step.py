@@ -304,3 +304,27 @@ def test_lr_schedule_string(bert_params):
         lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params
     )
     assert max(jax.tree_util.tree_leaves(moved2)) == 0.0
+
+
+def test_multichip_flops_scale_down_per_device(bert_params):
+    """Weak-scaling evidence: the SPMD-partitioned step's per-device FLOPs
+    are ~1/8 of the single-device program at the same GLOBAL batch — the
+    conv work really is divided, not replicated, across the dp mesh."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    batch1 = _fake_batch(rng, bs=16)
+
+    step1 = make_train_step(CFG, bert_params=bert_params, donate=False)
+    flops1 = step1.lower(state, batch1).compile().cost_analysis()["flops"]
+
+    state8 = replicate(mesh, state)
+    step8 = make_train_step(CFG, bert_params=bert_params, mesh=mesh, donate=False)
+    batch8 = shard_batch(mesh, _fake_batch(np.random.default_rng(7), bs=16))
+    flops8 = step8.lower(state8, batch8).compile().cost_analysis()["flops"]
+
+    assert flops1 > 0 and flops8 > 0
+    ratio = flops8 / flops1
+    # per-device cost: 1/8 of the compute plus collective/negative-exchange
+    # overhead; anywhere near 1.0 would mean replicated (not sharded) work
+    assert ratio < 0.35, f"per-device flops ratio {ratio:.3f}"
