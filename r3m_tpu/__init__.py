@@ -26,7 +26,9 @@ __all__ = [
     "R3M",
     "R3MConfig",
     "R3MEncoder",
+    "R3MRewardModel",
     "VALID_ARGS",
+    "bc_probe",
     "cleanup_config",
     "load_r3m",
     "load_r3m_from_files",
@@ -37,6 +39,19 @@ __all__ = [
     "remove_language_head",
     "sim",
 ]
+
+
+def __getattr__(name: str):
+    """Lazy re-exports of the downstream-eval APIs (keeps base import light)."""
+    if name == "R3MRewardModel":
+        from r3m_tpu.reward import R3MRewardModel
+
+        return R3MRewardModel
+    if name == "bc_probe":
+        from r3m_tpu.evalsuite.bc import bc_probe
+
+        return bc_probe
+    raise AttributeError(f"module 'r3m_tpu' has no attribute {name!r}")
 
 # Constructor args accepted from checkpoint configs (r3m/__init__.py:15).
 VALID_ARGS = [
