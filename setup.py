@@ -27,4 +27,13 @@ setup(
         "convert": ["torch", "transformers"],  # checkpoint/HF weight import
         "test": ["pytest", "torch", "torchvision", "transformers"],
     },
+    entry_points={
+        "console_scripts": [
+            # the reference is driven by `python train_representation.py`
+            # (a repo-root script); installed commands cover the same
+            # surfaces for pip-installed users
+            "r3m-embed = r3m_tpu.embed:main",
+            "r3m-prepare-language = r3m_tpu.prepare_language:main",
+        ],
+    },
 )
