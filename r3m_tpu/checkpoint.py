@@ -118,9 +118,14 @@ def load_snapshot(path: str) -> Tuple[Pytree, Dict]:
 # ---------------------------------------------------------------------------
 
 
-def save_train_snapshot(work_dir: str, state, cfg=None, keep_step_copy=True) -> str:
+def save_train_snapshot(
+    work_dir: str, state, cfg=None, keep_step_copy=True, extra_meta=None
+) -> str:
     """Reference semantics (train_representation.py:123-130): write
-    snapshot_{step}.npz (without step meta) and rolling snapshot.npz (with)."""
+    snapshot_{step}.npz (without step meta) and rolling snapshot.npz (with).
+
+    `extra_meta`: JSON-able run facts beyond the model config (e.g. the
+    pipeline's `lang_max_len`, which the reward-serving path must match)."""
     from r3m_tpu.training.trainer import TrainState  # noqa: F401 (doc link)
 
     step = int(np.asarray(state.step))
@@ -133,6 +138,8 @@ def save_train_snapshot(work_dir: str, state, cfg=None, keep_step_copy=True) -> 
     meta = {"global_step": step}
     if cfg is not None:
         meta["config"] = dataclasses.asdict(cfg)
+    if extra_meta:
+        meta.update(extra_meta)
     if keep_step_copy:
         save_snapshot(os.path.join(work_dir, f"snapshot_{step}.npz"), tree, meta)
     rolling = os.path.join(work_dir, "snapshot.npz")

@@ -40,7 +40,7 @@ def collect_image_files(inputs: Sequence[str]) -> List[str]:
             raise ValueError(f"not an image file or directory: {item}")
     if not out:
         raise ValueError("no image files found")
-    return sorted(out)
+    return sorted(set(out))  # overlapping inputs must not duplicate rows
 
 
 def _load_images(paths: Sequence[str], size: int) -> np.ndarray:
@@ -122,6 +122,13 @@ def main(argv=None) -> str:
     os.replace(tmp, args.out)
     print(f"wrote {emb.shape[0]} x {emb.shape[1]} embeddings -> {args.out}")
     return args.out
+
+
+def cli(argv=None) -> int:
+    """Console-script entry: `sys.exit(cli())` must be 0 on success (main()
+    returns the output path, which sys.exit would treat as failure)."""
+    main(argv)
+    return 0
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@ This module provides the in-repo equivalent protocol: freeze the visual
 encoder, embed demonstration frames, and train a small MLP policy
 embedding(+proprio) -> action by MSE — the standard R3M evaluation recipe
 (arXiv:2203.12601 §4). The whole probe (embed + policy train loop) is
-jitted; the policy update runs `lax.scan` over epochs on device.
+jitted; the policy update runs `lax.scan` over minibatch steps on device.
 
 Usage:
     r3m = load_r3m("resnet50")
@@ -48,17 +48,39 @@ def _mlp_apply(params, x):
     return x
 
 
+def _embed_chunked(embed_fn: Callable, images, chunk: int) -> np.ndarray:
+    """Embed in fixed-size batches (tail padded by repetition, then cut).
+
+    One device forward over the whole demo set would both OOM on realistic
+    sizes (50k frames of 224px f32 ≈ 30 GB input) and compile a one-off
+    program; fixed chunks reuse one compiled shape.
+    """
+    images = np.asarray(images)
+    n = images.shape[0]
+    if n <= chunk:
+        return np.asarray(embed_fn(images))
+    outs = []
+    for i in range(0, n, chunk):
+        x = images[i : i + chunk]
+        m = x.shape[0]
+        if m < chunk:
+            x = np.concatenate([x, np.repeat(x[-1:], chunk - m, axis=0)])
+        outs.append(np.asarray(embed_fn(x))[:m])
+    return np.concatenate(outs)
+
+
 def bc_probe(
     embed_fn: Callable,
     images,
     actions,
     proprio: Optional[np.ndarray] = None,
     hidden: int = 256,
-    epochs: int = 100,
+    steps: int = 100,
     lr: float = 1e-3,
     batch: int = 256,
     val_frac: float = 0.2,
     seed: int = 0,
+    embed_batch: int = 256,
 ) -> Dict:
     """Train an MLP policy on frozen embeddings; returns train/val MSE.
 
@@ -66,8 +88,13 @@ def bc_probe(
     module returned by `load_r3m`). `images`: [N, 3, H, W] in [0, 255].
     `actions`: [N, A]. Optional `proprio` [N, P] is concatenated to the
     embedding (the reference protocol feeds proprioception alongside).
+
+    `steps` counts GRADIENT STEPS: each draws one `batch`-sized minibatch
+    with replacement (not full passes over the data — size `steps`
+    accordingly for large demo sets). Embedding runs in `embed_batch`-sized
+    chunks so arbitrarily large demo sets fit on device.
     """
-    emb = np.asarray(embed_fn(images))
+    emb = _embed_chunked(embed_fn, images, embed_batch)
     if proprio is not None:
         emb = np.concatenate([emb, np.asarray(proprio)], axis=1)
     actions = np.asarray(actions, dtype=np.float32)
@@ -76,6 +103,11 @@ def bc_probe(
     order = rng.permutation(n)
     n_val = max(1, int(n * val_frac))
     val_idx, tr_idx = order[:n_val], order[n_val:]
+    if tr_idx.size == 0:
+        raise ValueError(
+            f"no training samples left: n={n}, val_frac={val_frac} "
+            "(need at least 2 samples with val_frac < 1)"
+        )
     x_tr = jnp.asarray(emb[tr_idx])
     y_tr = jnp.asarray(actions[tr_idx])
     x_val = jnp.asarray(emb[val_idx])
@@ -89,7 +121,7 @@ def bc_probe(
 
     @jax.jit
     def run(params, opt_state, key):
-        def epoch(carry, k):
+        def one_step(carry, k):
             params, opt_state = carry
             idx = jax.random.randint(k, (batch,), 0, x_tr.shape[0])
             xb, yb = x_tr[idx], y_tr[idx]
@@ -102,9 +134,9 @@ def bc_probe(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        keys = jax.random.split(key, epochs)
+        keys = jax.random.split(key, steps)
         (params, opt_state), losses = jax.lax.scan(
-            epoch, (params, opt_state), keys
+            one_step, (params, opt_state), keys
         )
         val_mse = jnp.mean((_mlp_apply(params, x_val) - y_val) ** 2)
         return params, losses, val_mse

@@ -75,7 +75,33 @@ def _drive_download(file_id: str, dest: str) -> None:
             f.write(first)
         for chunk in resp.iter_content(1 << 20):
             f.write(chunk)
+    _validate_payload(tmp, dest)
     os.replace(tmp, dest)
+
+
+def _validate_payload(tmp: str, dest: str) -> None:
+    """Reject Drive interstitial/error pages BEFORE committing to the cache.
+
+    Drive serves virus-scan/quota/removed pages as HTTP 200 HTML; writing
+    one to ``model.pt`` would permanently poison the cache (ensure_artifacts
+    sees the file exists and never re-downloads). ``model.pt`` must be a
+    zip-container or legacy-pickle torch file; ``config.yaml`` must not be
+    markup.
+    """
+    with open(tmp, "rb") as f:
+        head = f.read(64)
+    html = head.lstrip()[:1].lower() == b"<"
+    if dest.endswith(".pt"):
+        ok = head[:2] == b"PK" or head[:1] == b"\x80"
+    else:
+        ok = bool(head) and not html
+    if not ok:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"Drive returned a non-artifact payload for {os.path.basename(dest)} "
+            f"(starts with {head[:16]!r}) — likely a virus-scan/quota "
+            "interstitial page. Retry later or download manually."
+        )
 
 
 def ensure_artifacts(modelid: str, reproduce: bool = False) -> Tuple[str, str]:

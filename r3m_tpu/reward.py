@@ -7,16 +7,26 @@ trained `LanguageReward` MLP scores how much progress the (start, current)
 embedding pair makes toward it. This module packages that capability for
 inference — from a native training snapshot (which, unlike the stripped
 `load_r3m` artifacts, still carries ``lang_rew``) or a reference torch
-training snapshot.
+training snapshot (`from_torch_snapshot`).
 
     rm = R3MRewardModel.from_snapshot("snapshot.npz", bert_weights, vocab)
     r = rm.get_reward(e0, es, ["pick up the cup"] )   # embeddings path
     r = rm(images0, images_t, ["pick up the cup"])    # images path
+    curve = rm.reward_curve(frames, "pick up the cup")  # one trajectory
+
+Padding semantics matter: DistilBERT sentence embeddings mean-pool over ALL
+tokens including padding (models_language.py:34), so the pad length changes
+the embedding. `pad_mode="fixed"` pads to `lang_max_len` — matching THIS
+framework's training pipeline (static shapes). `pad_mode="longest"` pads to
+the longest sentence in the batch — the reference tokenizer's
+``padding=True`` behavior (models_language.py:30), required for parity when
+serving reference-trained heads (at the cost of one XLA recompile per
+distinct batch length).
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -40,11 +50,14 @@ class R3MRewardModel:
         bert_params,
         tokenizer: WordPieceTokenizer,
         lang_max_len: int = 32,
+        pad_mode: str = "fixed",
     ):
         if "lang_rew" not in params:
             raise ValueError(
                 "snapshot has no language head (trained with langweight=0?)"
             )
+        if pad_mode not in ("fixed", "longest"):
+            raise ValueError(f"pad_mode must be 'fixed'|'longest': {pad_mode!r}")
         self.cfg = cfg
         # coerce snapshot-loaded numpy trees to device arrays ONCE — passing
         # numpy leaves as jit args would re-upload all weights per call
@@ -53,20 +66,31 @@ class R3MRewardModel:
         self.bert_params = jax.tree_util.tree_map(jnp.asarray, bert_params)
         self.tokenizer = tokenizer
         self.lang_max_len = lang_max_len
+        self.pad_mode = pad_mode
 
         @jax.jit
         def _embed(params, batch_stats, obs):  # obs NCHW [0,255]
             x = jnp.transpose(obs, (0, 2, 3, 1))
-            emb, _ = r3m_embed(cfg, params, batch_stats, x, train=False)
+            # HIGHEST precision: serving embeddings must match the
+            # R3MEncoder/load_r3m path (models/r3m.py pins it for torch
+            # parity) — default TPU precision would drift ~1e-2
+            emb, _ = r3m_embed(
+                cfg, params, batch_stats, x, train=False,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             return emb
 
         @jax.jit
-        def _reward(params, bert_params, e0, es, ids, mask):
-            le = sentence_embedding(bert_params, ids, mask)
-            return language_reward_apply(params["lang_rew"], e0, es, le)
+        def _lang(bert_params, ids, mask):
+            return sentence_embedding(bert_params, ids, mask)
+
+        @jax.jit
+        def _reward_from_lang(params, e0, es, lang_emb):
+            return language_reward_apply(params["lang_rew"], e0, es, lang_emb)
 
         self._embed = _embed
-        self._reward = _reward
+        self._lang = _lang
+        self._reward_from_lang = _reward_from_lang
 
     @classmethod
     def from_snapshot(
@@ -74,15 +98,24 @@ class R3MRewardModel:
         snapshot_path: str,
         bert_weights: str,
         vocab_path: str,
-        lang_max_len: int = 32,
+        lang_max_len: Optional[int] = None,
+        pad_mode: str = "fixed",
     ) -> "R3MRewardModel":
-        """Build from a native .npz training snapshot (config in metadata)."""
+        """Build from a native .npz training snapshot (config in metadata).
+
+        `lang_max_len=None` recovers the value the training run padded to
+        (snapshot metadata; default 32) — serving with a different pad
+        length would silently shift the sentence-embedding distribution the
+        reward head was trained on.
+        """
         from r3m_tpu.checkpoint import load_snapshot, r3m_config_from_meta
         from r3m_tpu.training.workspace import load_bert_params
 
         tree, meta = load_snapshot(snapshot_path)
         # serving is always f32 regardless of the training compute dtype
         cfg = r3m_config_from_meta(meta, compute_dtype="float32")
+        if lang_max_len is None:
+            lang_max_len = int(meta.get("lang_max_len", 32))
         return cls(
             cfg,
             params=tree["params"],
@@ -90,6 +123,46 @@ class R3MRewardModel:
             bert_params=load_bert_params(bert_weights),
             tokenizer=WordPieceTokenizer(vocab_file=vocab_path),
             lang_max_len=lang_max_len,
+            pad_mode=pad_mode,
+        )
+
+    @classmethod
+    def from_torch_snapshot(
+        cls,
+        snapshot_path: str,
+        bert_weights: str,
+        vocab_path: str,
+        pad_mode: str = "longest",
+    ) -> "R3MRewardModel":
+        """Build from a REFERENCE torch training snapshot (snapshot.pt).
+
+        Imports convnet + BN stats + the `lang_rew` MLP via the torch
+        converter. Defaults to `pad_mode="longest"` because the reference
+        tokenizes with ``padding=True`` (models_language.py:30) and its
+        mean-pool includes padding — fixed-length padding would score
+        reference-trained heads on out-of-distribution sentence embeddings.
+        """
+        from r3m_tpu.checkpoint import load_torch_checkpoint
+        from r3m_tpu.training.workspace import load_bert_params
+
+        bundle = load_torch_checkpoint(snapshot_path, include_language=True)
+        if bundle.get("lang_rew") is None:
+            raise ValueError(
+                f"{snapshot_path} carries no language-reward head"
+            )
+        cfg = R3MConfig(
+            size=bundle["size"], langweight=1.0, compute_dtype="float32"
+        )
+        return cls(
+            cfg,
+            params={
+                "convnet": bundle["convnet"]["params"],
+                "lang_rew": bundle["lang_rew"],
+            },
+            batch_stats=bundle["convnet"]["batch_stats"],
+            bert_params=load_bert_params(bert_weights),
+            tokenizer=WordPieceTokenizer(vocab_file=vocab_path),
+            pad_mode=pad_mode,
         )
 
     # -- reference-parity surface ------------------------------------------
@@ -100,19 +173,17 @@ class R3MRewardModel:
             obs = obs[None]
         return self._embed(self.params, self.batch_stats, obs)
 
+    def _sentence_embeddings(self, sentences: Sequence[str]) -> jax.Array:
+        max_len = None if self.pad_mode == "longest" else self.lang_max_len
+        ids, mask = self.tokenizer.encode_batch(list(sentences), max_len)
+        return self._lang(self.bert_params, jnp.asarray(ids), jnp.asarray(mask))
+
     def get_reward(self, e0, es, sentences: Sequence[str]) -> jax.Array:
         """Score (start, current) embedding pairs against instructions
         (models_r3m.py:78-81)."""
-        ids, mask = self.tokenizer.encode_batch(
-            list(sentences), self.lang_max_len
-        )
-        return self._reward(
-            self.params,
-            self.bert_params,
-            jnp.asarray(e0),
-            jnp.asarray(es),
-            jnp.asarray(ids),
-            jnp.asarray(mask),
+        lang_emb = self._sentence_embeddings(sentences)
+        return self._reward_from_lang(
+            self.params, jnp.asarray(e0), jnp.asarray(es), lang_emb
         )
 
     def __call__(self, images0, images_t, sentences: Sequence[str]) -> jax.Array:
@@ -128,8 +199,11 @@ class R3MRewardModel:
         under one instruction, `r_t = R(e_0, e_t, l)`. `frames` is
         [T, C, H, W] in [0, 255]; returns [T] scores (index 0 is the
         degenerate (e_0, e_0) score — a natural baseline for the curve).
-        One batched encoder pass + one batched MLP pass.
+        One batched encoder pass; the instruction is tokenized and
+        BERT-encoded ONCE and broadcast across frames.
         """
         emb = self.embed(frames)
+        lang = self._sentence_embeddings([sentence])[0]
+        lang_emb = jnp.broadcast_to(lang, (emb.shape[0], lang.shape[0]))
         e0 = jnp.broadcast_to(emb[0], emb.shape)
-        return self.get_reward(e0, emb, [sentence] * int(emb.shape[0]))
+        return self._reward_from_lang(self.params, e0, emb, lang_emb)

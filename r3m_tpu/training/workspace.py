@@ -371,8 +371,11 @@ class Workspace:
         reading the file back.
         """
         keep = int(self.cfg.get("keep_snapshots", 0))
+        extra = {"lang_max_len": int(self.cfg.get("lang_max_len", 32))}
         if self._snap_writer is None:
-            path = save_train_snapshot(self.work_dir, self.state, self.model_cfg)
+            path = save_train_snapshot(
+                self.work_dir, self.state, self.model_cfg, extra_meta=extra
+            )
             if keep > 0:
                 self._prune_snapshots(keep)
             return path
@@ -380,7 +383,9 @@ class Workspace:
         host_state = jax.device_get(self.state)
 
         def write():
-            save_train_snapshot(self.work_dir, host_state, self.model_cfg)
+            save_train_snapshot(
+                self.work_dir, host_state, self.model_cfg, extra_meta=extra
+            )
             if keep > 0:
                 self._prune_snapshots(keep)
 

@@ -354,3 +354,27 @@ def test_async_snapshot_writer_overlaps_and_surfaces_errors(tmp_path):
     w.submit(lambda: (tmp_path / "b.txt").write_text("ok"))
     w.wait()
     assert (tmp_path / "b.txt").exists()
+
+
+def test_fetch_rejects_html_interstitial(tmp_path):
+    """A Drive HTML page must never be committed to the artifact cache."""
+    from r3m_tpu.fetch import _validate_payload
+
+    bad = tmp_path / "model.pt.part"
+    bad.write_bytes(b"<!DOCTYPE html><html>Google Drive can't scan...")
+    with pytest.raises(RuntimeError, match="non-artifact payload"):
+        _validate_payload(str(bad), str(tmp_path / "model.pt"))
+    assert not bad.exists()  # .part removed, nothing committed
+
+    good = tmp_path / "ok.pt.part"
+    good.write_bytes(b"PK\x03\x04rest-of-zip")
+    _validate_payload(str(good), str(tmp_path / "ok.pt"))  # no raise
+
+    pickle_style = tmp_path / "old.pt.part"
+    pickle_style.write_bytes(b"\x80\x02payload")
+    _validate_payload(str(pickle_style), str(tmp_path / "old.pt"))
+
+    cfg_bad = tmp_path / "config.yaml.part"
+    cfg_bad.write_bytes(b"  <html>quota exceeded</html>")
+    with pytest.raises(RuntimeError, match="non-artifact payload"):
+        _validate_payload(str(cfg_bad), str(tmp_path / "config.yaml"))

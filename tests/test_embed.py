@@ -48,3 +48,21 @@ def test_collect_image_files_rejects_junk(tmp_path):
         collect_image_files([str(tmp_path / "x.txt")])
     with pytest.raises(ValueError, match="no image files"):
         collect_image_files([str(tmp_path)])
+
+
+def test_collect_image_files_dedups_overlapping_inputs(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(b"x")
+    (d / "b.jpg").write_bytes(b"x")
+    files = collect_image_files([str(d), str(d / "a.jpg"), str(d)])
+    assert files == sorted(files)
+    assert len(files) == 2  # no duplicate rows
+
+
+def test_cli_returns_zero(tmp_path, monkeypatch):
+    """Console-script wrapper must sys.exit(0) on success."""
+    import r3m_tpu.embed as embed_mod
+
+    monkeypatch.setattr(embed_mod, "main", lambda argv=None: "/some/path.npz")
+    assert embed_mod.cli([]) == 0

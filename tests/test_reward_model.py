@@ -77,3 +77,52 @@ def test_reward_curve_over_trajectory(artifacts):
     np.testing.assert_allclose(
         np.asarray(curve)[0], np.asarray(r00)[0], rtol=1e-5
     )
+
+
+def test_reward_pad_modes_and_meta_lang_max_len(artifacts, tmp_path):
+    """pad_mode semantics + lang_max_len recovery from snapshot metadata."""
+    snap, bert, vocab = artifacts
+    # training-time lang_max_len persisted via extra_meta is recovered
+    cfg = R3MConfig(size=18, langweight=1.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    snap16 = save_train_snapshot(
+        str(tmp_path), state, cfg, keep_step_copy=False,
+        extra_meta={"lang_max_len": 16},
+    )
+    rm16 = R3MRewardModel.from_snapshot(snap16, bert, vocab)
+    assert rm16.lang_max_len == 16
+
+    # fixed vs longest padding: mean-pool includes padding, so the scores
+    # differ — and "longest" must match an explicit max_len of that length
+    rm_fixed = R3MRewardModel.from_snapshot(snap, bert, vocab)
+    rm_long = R3MRewardModel.from_snapshot(snap, bert, vocab, pad_mode="longest")
+    e0 = jnp.zeros((1, 512)) + 0.1
+    es = jnp.zeros((1, 512)) + 0.2
+    r_fixed = rm_fixed.get_reward(e0, es, ["pick up the cup"])
+    r_long = rm_long.get_reward(e0, es, ["pick up the cup"])
+    assert not np.allclose(np.asarray(r_fixed), np.asarray(r_long))
+    n_tok = len(rm_long.tokenizer.encode("pick up the cup"))
+    rm_exact = R3MRewardModel.from_snapshot(snap, bert, vocab, lang_max_len=n_tok)
+    np.testing.assert_allclose(
+        np.asarray(r_long),
+        np.asarray(rm_exact.get_reward(e0, es, ["pick up the cup"])),
+        rtol=1e-6,
+    )
+
+
+def test_reward_from_torch_snapshot(artifacts, tmp_path):
+    """Reference-format snapshot.pt serves rewards (longest-pad default)."""
+    from r3m_tpu.checkpoint import export_torch_snapshot
+
+    snap, bert, vocab = artifacts
+    cfg = R3MConfig(size=18, langweight=1.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(3))
+    pt = str(tmp_path / "snapshot.pt")
+    export_torch_snapshot(pt, state, size=18)
+    rm = R3MRewardModel.from_torch_snapshot(pt, bert, vocab)
+    assert rm.pad_mode == "longest"
+    r = rm.get_reward(
+        jnp.zeros((2, 512)), jnp.ones((2, 512)),
+        ["pick up the cup", "open the door"],
+    )
+    assert r.shape == (2,) and np.all(np.isfinite(np.asarray(r)))
