@@ -194,9 +194,6 @@ class NativeFramePipeline:
         self._handle = lib.r3m_pipeline_create(
             n_threads, self._frames, height, width, depth
         )
-        self._buf = np.empty(
-            (self._frames, height, width, 3), dtype=np.uint8
-        )
         self._captions: "list[List[str]]" = []
         for _ in range(depth):
             self._submit_one()
@@ -210,15 +207,20 @@ class NativeFramePipeline:
         self._captions.append(captions)
 
     def next_batch(self):
-        """-> ([B, 5, H, W, 3] uint8, captions). Blocks on the C++ ring."""
+        """-> ([B, 5, H, W, 3] uint8, captions). Blocks on the C++ ring.
+
+        The C++ fetch copies the ring slot into a FRESH caller-owned array
+        (a reused staging buffer would alias batches the prefetch queue is
+        still holding, forcing a second defensive copy downstream)."""
+        buf = np.empty((self._frames, self.height, self.width, 3), np.uint8)
         failed = self._lib.r3m_pipeline_fetch(
-            self._handle, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         )
         if failed < 0:
             raise RuntimeError("pipeline fetch with nothing in flight")
         _warn_failed(failed, self._frames)
         captions = self._captions.pop(0)
-        clips = self._buf.reshape(self.batch_size, 5, self.height, self.width, 3)
+        clips = buf.reshape(self.batch_size, 5, self.height, self.width, 3)
         self._submit_one()  # keep the ring full
         return clips, captions
 

@@ -54,17 +54,20 @@ class Ego4DDataset:
     ):
         if manifest is None:
             manifest = pd.read_csv(os.path.join(datapath, "manifest.csv"))
-        if num_shards > 1:
-            # host-level sharding for multi-process (multi-host) input
-            manifest = manifest.iloc[shard_index::num_shards].reset_index(drop=True)
         bad = manifest[manifest["len"] < 3]
         if len(bad):
             # the index law (s1 ~ U[2, len)) needs len >= 3; the reference
-            # crashes mid-training on such rows — fail fast at load instead
+            # crashes mid-training on such rows — fail fast at load instead.
+            # Validate BEFORE host sharding so every process of a multi-host
+            # job fails identically (a single failing shard would leave the
+            # others hung in their first collective).
             raise ValueError(
                 f"manifest rows with len < 3 cannot be sampled: "
                 f"{bad['path'].tolist()[:5]}{'...' if len(bad) > 5 else ''}"
             )
+        if num_shards > 1:
+            # host-level sharding for multi-process (multi-host) input
+            manifest = manifest.iloc[shard_index::num_shards].reset_index(drop=True)
         self.manifest = manifest
         self.alpha = alpha
         self.rng = np.random.default_rng(seed)
@@ -112,8 +115,13 @@ class Ego4DDataset:
 
 
 class FrameBatcher:
-    """sample -> decode -> [B, 5, H, W, 3] uint8 batch assembly with a
-    reusable staging buffer (no per-step allocation)."""
+    """sample -> decode -> [B, 5, H, W, 3] uint8 batch assembly.
+
+    Each call decodes into a FRESH array the caller owns outright — a
+    reused staging buffer would hand out aliases that the next call
+    silently overwrites (the prefetch queue holds batches across calls),
+    forcing every consumer to pay a defensive full-batch copy anyway.
+    """
 
     def __init__(
         self,
@@ -126,11 +134,10 @@ class FrameBatcher:
         self.dataset = dataset
         self.batch_size = batch_size
         self.decoder = JpegDecoder(height, width, n_threads)
-        self._buf = np.empty((batch_size * 5, height, width, 3), dtype=np.uint8)
 
     def next_batch(self) -> Tuple[np.ndarray, List[str]]:
         paths, captions = self.dataset.sample_batch(self.batch_size)
-        frames = self.decoder.decode_batch(paths, out=self._buf)
+        frames = self.decoder.decode_batch(paths)
         clips = frames.reshape(self.batch_size, 5, *frames.shape[1:])
         return clips, captions
 

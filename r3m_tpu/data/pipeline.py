@@ -136,8 +136,9 @@ class DataPipeline:
         )
 
     def _make_batch(self) -> Dict:
+        # batchers return fresh caller-owned arrays — no defensive copy
         clips, captions = self.batcher.next_batch()
-        batch: Dict = {"images": clips.copy(), "captions": captions}
+        batch: Dict = {"images": clips, "captions": captions}
         if self.tokenizer is not None:
             ids, mask = self.tokenizer.encode_batch(captions, self.lang_max_len)
             batch["token_ids"] = ids

@@ -93,14 +93,9 @@ def distilbert_init(key, cfg: DistilBertConfig = BASE) -> Pytree:
 # ---------------------------------------------------------------------------
 
 
-def _layer_norm(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-
-
-def _dense(x, p):
-    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+# shared with ViT: r3m_tpu/models/layers.py (f32-stats LN is an exact no-op
+# on this frozen f32 path)
+from r3m_tpu.models.layers import dense as _dense, layer_norm as _layer_norm  # noqa: E402
 
 
 def distilbert_apply(

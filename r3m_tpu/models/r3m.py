@@ -83,9 +83,19 @@ def r3m_init(key: jax.Array, cfg: R3MConfig) -> Dict[str, Pytree]:
     """Initialize all trainable state: {"params": ..., "batch_stats": ...}."""
     k_enc, k_rew = jax.random.split(key)
     if cfg.size == 0:
-        from r3m_tpu.models.vit import vit_b32_init
+        import dataclasses as _dc
 
-        enc_params = vit_b32_init(k_enc)
+        from r3m_tpu.models.vit import B32, vit_b32_init
+
+        if cfg.image_size % B32.patch_size:
+            raise ValueError(
+                f"ViT-B/32 needs image_size divisible by {B32.patch_size}, "
+                f"got {cfg.image_size}"
+            )
+        # position-embedding table must match the configured input size
+        enc_params = vit_b32_init(
+            k_enc, _dc.replace(B32, image_size=cfg.image_size)
+        )
         batch_stats: Pytree = {}
     else:
         enc_params, batch_stats = resnet_init(k_enc, cfg.size)

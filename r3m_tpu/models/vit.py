@@ -86,24 +86,8 @@ def vit_b32_init(key: jax.Array, cfg: ViTConfig = B32) -> Pytree:
     return params
 
 
-def _layer_norm(x, p, eps):
-    # statistics in f32 regardless of compute dtype; output in x.dtype
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-    return y.astype(x.dtype)
-
-
-def _dense(x, p, precision=None):
-    # params live in f32; compute in x.dtype (MXU bf16 fast path), f32 accum
-    out = jnp.dot(
-        x,
-        p["w"].astype(x.dtype),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    ) + p["b"]
-    return out.astype(x.dtype)
+# shared with DistilBERT: r3m_tpu/models/layers.py
+from r3m_tpu.models.layers import dense as _dense, layer_norm as _layer_norm  # noqa: E402
 
 
 def vit_b32_apply(

@@ -82,3 +82,25 @@ def test_none_mode_passthrough(rng):
         jax.random.PRNGKey(0), jnp.asarray(clip), out_size=32, mode="none"
     )
     np.testing.assert_array_equal(np.asarray(out), clip)
+
+
+def test_resized_crop_upscale_matches_torch(rng):
+    """UPSCALED crops (crop smaller than out) must edge-clamp at the crop
+    border like torch's crop-then-interpolate — no pixel bleed from outside
+    the crop rectangle."""
+    img = rng.uniform(0, 255, size=(64, 80, 3)).astype(np.float32)
+    for (i, j, h, w) in [(10, 20, 20, 20), (0, 0, 5, 7), (40, 60, 24, 20)]:
+        ref = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(img[i : i + h, j : j + w]).permute(2, 0, 1)[None],
+                size=(32, 32),
+                mode="bilinear",
+                align_corners=False,
+            )[0]
+            .permute(1, 2, 0)
+            .numpy()
+        )
+        ours = resized_crop(
+            jnp.asarray(img), float(i), float(j), float(h), float(w), 32
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-3)

@@ -80,3 +80,20 @@ def test_vit_train_step_runs():
     new_state, metrics = step(state, batch)
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["full_loss"]))
+
+
+def test_vit_honors_image_size_knob():
+    """size=0 with a non-224 image_size must build a matching pos table."""
+    import pytest
+
+    from r3m_tpu.models.r3m import R3MConfig, r3m_embed, r3m_init
+
+    cfg = R3MConfig(size=0, langweight=0.0, image_size=64)
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+    assert state["params"]["convnet"]["pos"].shape == (1, 2 * 2 + 1, 768)
+    obs = jnp.zeros((2, 64, 64, 3))
+    emb, _ = r3m_embed(cfg, state["params"], state["batch_stats"], obs)
+    assert emb.shape == (2, 768)
+
+    with pytest.raises(ValueError, match="divisible"):
+        r3m_init(jax.random.PRNGKey(0), R3MConfig(size=0, image_size=50))
