@@ -121,11 +121,18 @@ def load_snapshot(path: str) -> Tuple[Pytree, Dict]:
 def save_train_snapshot(
     work_dir: str, state, cfg=None, keep_step_copy=True, extra_meta=None
 ) -> str:
-    """Reference semantics (train_representation.py:123-130): write
-    snapshot_{step}.npz (without step meta) and rolling snapshot.npz (with).
+    """Reference layout (train_representation.py:123-130): per-eval
+    snapshot_{step}.npz plus the rolling snapshot.npz, both carrying
+    identical metadata (global_step, config) so either resumes correctly.
+
+    The state is serialized ONCE; the rolling file is a hardlink (copy on
+    filesystems without link support) of the step copy — the reference
+    torch.saves the ~GB payload twice per snapshot event.
 
     `extra_meta`: JSON-able run facts beyond the model config (e.g. the
     pipeline's `lang_max_len`, which the reward-serving path must match)."""
+    import shutil
+
     from r3m_tpu.training.trainer import TrainState  # noqa: F401 (doc link)
 
     step = int(np.asarray(state.step))
@@ -140,10 +147,20 @@ def save_train_snapshot(
         meta["config"] = dataclasses.asdict(cfg)
     if extra_meta:
         meta.update(extra_meta)
-    if keep_step_copy:
-        save_snapshot(os.path.join(work_dir, f"snapshot_{step}.npz"), tree, meta)
     rolling = os.path.join(work_dir, "snapshot.npz")
-    save_snapshot(rolling, tree, meta)
+    if not keep_step_copy:
+        save_snapshot(rolling, tree, meta)
+        return rolling
+    step_path = os.path.join(work_dir, f"snapshot_{step}.npz")
+    save_snapshot(step_path, tree, meta)
+    tmp = rolling + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    try:
+        os.link(step_path, tmp)
+    except OSError:  # cross-device or no-hardlink filesystem
+        shutil.copyfile(step_path, tmp)
+    os.replace(tmp, rolling)
     return rolling
 
 
@@ -273,7 +290,15 @@ def load_torch_checkpoint(path: str, include_language: bool = False) -> Dict:
 
     try:
         payload = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as e:
+        # Retry the unsafe path ONLY for weights_only rejections (payloads
+        # with non-tensor globals, e.g. OmegaConf nodes in old snapshots);
+        # a corrupt/truncated file must surface its real error, not a
+        # second confusing one from the full unpickler.
+        import pickle
+
+        if not isinstance(e, pickle.UnpicklingError) and "weights_only" not in str(e):
+            raise
         payload = torch.load(path, map_location="cpu", weights_only=False)
     sd = payload["r3m"] if isinstance(payload, dict) and "r3m" in payload else payload
     bundle = convert_r3m_torch_state(sd, include_language=include_language)

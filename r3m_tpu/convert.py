@@ -68,11 +68,10 @@ def convert_resnet(sd: StateDict, size: int, prefix: str = "") -> Tuple[Dict, Di
     from r3m_tpu.models.resnet import RESNET_SPECS  # local import, no cycle
 
     spec = RESNET_SPECS[size]
-    g = lambda k: sd[prefix + k]  # noqa: E731
-
-    params: Dict[str, Any] = {"conv1": {"w": _conv_w(g("conv1.weight"))}}
-    state: Dict[str, Any] = {}
     sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)} if prefix else dict(sd)
+
+    params: Dict[str, Any] = {"conv1": {"w": _conv_w(sub["conv1.weight"])}}
+    state: Dict[str, Any] = {}
     params["bn1"], state["bn1"] = _bn(sub, "bn1")
 
     n_convs = 2 if spec.block == "basic" else 3

@@ -152,10 +152,21 @@ def make_train_step(
     (params replicated, batch sharded on dp) — call it on globally-shaped
     arrays; use `r3m_tpu.parallel.mesh.shard_batch` to place host batches.
     """
+    if doaug not in ("none", "rc", "rctraj"):
+        raise ValueError(
+            f"doaug must be one of 'none'|'rc'|'rctraj', got {doaug!r}"
+            " — an unknown value would silently train without augmentation"
+        )
     bert_params = _check_bert(cfg, bert_params)
     tx = make_optimizer(cfg)
 
-    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+    # Frozen BERT weights are passed as an explicit (replicated) jit
+    # argument rather than a closure capture: closure constants are baked
+    # into each compiled executable, so the train and eval programs would
+    # each hold their own ~265 MB copy in HBM and bloat the compile cache.
+    def step_fn(
+        state: TrainState, batch: Dict[str, jax.Array], bert: Optional[Pytree]
+    ):
         key, aug_key, new_key = jax.random.split(state.key, 3)
         if doaug in ("rc", "rctraj"):
             batch = dict(batch)
@@ -183,7 +194,7 @@ def make_train_step(
 
                 def loss_fn(params):
                     loss, metrics, new_stats = _encode_and_loss(
-                        cfg, params, stats, bert_params, mb, perms, True
+                        cfg, params, stats, bert, mb, perms, True
                     )
                     return loss, (metrics, new_stats)
 
@@ -206,7 +217,7 @@ def make_train_step(
 
             def loss_fn(params):
                 loss, metrics, new_stats = _encode_and_loss(
-                    cfg, params, state.batch_stats, bert_params, batch, perms, True
+                    cfg, params, state.batch_stats, bert, batch, perms, True
                 )
                 return loss, (metrics, new_stats)
 
@@ -229,17 +240,24 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    else:
+        rep = replicated(mesh)
+        dp = batch_sharded(mesh)
+        state_sh = jax.tree_util.tree_map(lambda _: rep, _state_structure())
+        jitted = jax.jit(
+            step_fn,
+            in_shardings=(state_sh, dp, rep),
+            out_shardings=(state_sh, rep),
+            donate_argnums=(0,) if donate else (),
+        )
 
-    rep = replicated(mesh)
-    dp = batch_sharded(mesh)
-    state_sh = jax.tree_util.tree_map(lambda _: rep, _state_structure())
-    return jax.jit(
-        step_fn,
-        in_shardings=(state_sh, dp),
-        out_shardings=(state_sh, rep),
-        donate_argnums=(0,) if donate else (),
-    )
+    def step(state, batch):
+        return jitted(state, batch, bert_params)
+
+    # AOT surface for tests/tools: same (state, batch) signature
+    step.lower = lambda state, batch: jitted.lower(state, batch, bert_params)
+    return step
 
 
 def _state_structure():
@@ -260,17 +278,33 @@ def make_eval_step(
     """
     bert_params = _check_bert(cfg, bert_params)
 
-    def eval_fn(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+    def eval_fn(
+        state: TrainState,
+        batch: Dict[str, jax.Array],
+        key: jax.Array,
+        bert: Optional[Pytree],
+    ):
         bs = batch["images"].shape[0]
         perms = draw_permutations(key, bs, cfg.num_negatives)
         loss, metrics, _ = _encode_and_loss(
-            cfg, state.params, state.batch_stats, bert_params, batch, perms, False
+            cfg, state.params, state.batch_stats, bert, batch, perms, False
         )
         return metrics
 
     if mesh is None:
-        return jax.jit(eval_fn)
-    rep = replicated(mesh)
-    dp = batch_sharded(mesh)
-    state_sh = jax.tree_util.tree_map(lambda _: rep, _state_structure())
-    return jax.jit(eval_fn, in_shardings=(state_sh, dp, rep), out_shardings=rep)
+        jitted = jax.jit(eval_fn)
+    else:
+        rep = replicated(mesh)
+        dp = batch_sharded(mesh)
+        state_sh = jax.tree_util.tree_map(lambda _: rep, _state_structure())
+        jitted = jax.jit(
+            eval_fn, in_shardings=(state_sh, dp, rep, rep), out_shardings=rep
+        )
+
+    def eval_step(state, batch, key):
+        return jitted(state, batch, key, bert_params)
+
+    eval_step.lower = lambda state, batch, key: jitted.lower(
+        state, batch, key, bert_params
+    )
+    return eval_step

@@ -103,7 +103,11 @@ class Workspace:
         if self.model_cfg.langweight > 0:
             if not cfg.get("bert_weights"):
                 raise ValueError("agent.langweight > 0 requires cfg.bert_weights")
-            self.bert_params = load_bert_params(cfg["bert_weights"])
+            # device-coerce ONCE so the train and eval steps share the same
+            # frozen-BERT buffers instead of each making a copy
+            self.bert_params = jax.tree_util.tree_map(
+                jnp.asarray, load_bert_params(cfg["bert_weights"])
+            )
             from r3m_tpu.text.tokenizer import WordPieceTokenizer
 
             self.tokenizer = WordPieceTokenizer(vocab_file=cfg["vocab_path"])

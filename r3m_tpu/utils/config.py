@@ -19,6 +19,8 @@ from typing import Any, Dict, List, Optional
 import yaml
 
 _INTERP = re.compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")
+_INTERP_EMBEDDED = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
+_MISSING = object()  # sentinel: distinguish absent keys from null values
 
 
 class Config(dict):
@@ -72,18 +74,33 @@ def _parse_value(text: str) -> Any:
         return text
 
 
-def _resolve(node: Any, root: Dict) -> Any:
+def _resolve(node: Any, root: Dict, _stack: tuple = ()) -> Any:
     if isinstance(node, dict):
-        return {k: _resolve(v, root) for k, v in node.items()}
+        return {k: _resolve(v, root, _stack) for k, v in node.items()}
     if isinstance(node, list):
-        return [_resolve(v, root) for v in node]
+        return [_resolve(v, root, _stack) for v in node]
     if isinstance(node, str):
+        def lookup(key: str, expr: str):
+            if key in _stack:
+                raise ValueError(
+                    "interpolation cycle: "
+                    + " -> ".join((*_stack, key))
+                )
+            ref = Config(root).get_path(key, default=_MISSING)
+            if ref is _MISSING:
+                raise KeyError(f"unresolvable interpolation: {expr}")
+            # null-valued keys (n_devices: ~) resolve to None, as OmegaConf
+            return _resolve(ref, root, _stack + (key,))
+
         m = _INTERP.match(node)
-        if m:
-            ref = Config(root).get_path(m.group(1))
-            if ref is None:
-                raise KeyError(f"unresolvable interpolation: {node}")
-            return _resolve(ref, root)
+        if m:  # whole-string interpolation keeps the referent's TYPE
+            return lookup(m.group(1), node)
+        if _INTERP_EMBEDDED.search(node):
+            # embedded form ('${root}/data') substitutes as text (OmegaConf
+            # string-interpolation semantics)
+            return _INTERP_EMBEDDED.sub(
+                lambda mm: str(lookup(mm.group(1), mm.group(0))), node
+            )
     return node
 
 
@@ -108,7 +125,9 @@ def load_config(
         # (catches silent typos like `batch_sise=4`); `+key=value` adds.
         if key.startswith("+"):
             key = key[1:]
-        elif path is not None and not c.has_path(key):
+        elif (path is not None or base) and not c.has_path(key):
+            # strict for file- AND base-dict-backed configs; only a config
+            # built purely from overrides has no key set to validate against
             raise KeyError(
                 f"unknown config key {key!r} (use +{key}=... to add a new key)"
             )

@@ -1,10 +1,11 @@
 """Config helpers: meta reconstruction, hydra-style instantiate, coercion."""
 
 import numpy as np
+import pytest
 
 from r3m_tpu.checkpoint import r3m_config_from_meta
 from r3m_tpu.models.r3m import R3MConfig
-from r3m_tpu.utils.config import agent_to_r3m_config, instantiate
+from r3m_tpu.utils.config import agent_to_r3m_config, instantiate, load_config
 
 
 def test_config_from_meta_filters_and_overrides():
@@ -38,3 +39,40 @@ def test_nested_attribute_write_persists():
     assert cfg["agent"]["langweight"] == 1.0
     cfg.agent.inner.d = 7
     assert cfg["agent"]["inner"]["d"] == 7
+
+
+def test_embedded_and_null_interpolation(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "root: /data\n"
+        "datapath: ${root}/ego4d\n"
+        "n_devices: ~\n"
+        "mirror: ${n_devices}\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg["datapath"] == "/data/ego4d"  # embedded text substitution
+    assert cfg["mirror"] is None  # null-valued key resolves like OmegaConf
+    with pytest.raises(KeyError, match="unresolvable"):
+        load_config(str(p), overrides=["+x=${missing_key}"])
+
+
+def test_interpolation_cycle_is_diagnosed(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("a: ${b}\nb: ${a}\n")
+    with pytest.raises(ValueError, match="cycle"):
+        load_config(str(p))
+
+
+def test_base_dict_configs_are_strict_too():
+    with pytest.raises(KeyError, match="unknown config key"):
+        load_config(None, overrides=["batch_sise=4"], base={"batch_size": 32})
+    cfg = load_config(None, overrides=["+new=1"], base={"batch_size": 32})
+    assert cfg["new"] == 1
+
+
+def test_invalid_doaug_rejected():
+    from r3m_tpu.models.r3m import R3MConfig
+    from r3m_tpu.training.trainer import make_train_step
+
+    with pytest.raises(ValueError, match="doaug"):
+        make_train_step(R3MConfig(size=18, langweight=0.0), doaug="rctrja")
