@@ -240,3 +240,94 @@ def export_r3m_torch_state(
     if params.get("lang_rew") is not None:
         sd.update(export_language_reward(params["lang_rew"], prefix=f"{pre}lang_rew."))
     return sd
+
+
+# ---------------------------------------------------------------------------
+# CLI: snapshot conversion in both directions
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None) -> int:
+    """Convert checkpoints between the reference torch format and native npz.
+
+        python -m r3m_tpu.convert to-native snapshot.pt out.npz
+        python -m r3m_tpu.convert to-torch  snapshot.npz out.pt
+
+    to-native seeds a fresh optimizer (torch Adam state is not portable);
+    to-torch writes the reference's pickled {"r3m", "global_step"} payload
+    (module.convnet.* naming, OIHW) loadable by its train_representation /
+    load_r3m stack.
+    """
+    import argparse
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    tn = sub.add_parser("to-native", help="torch snapshot/model.pt -> .npz")
+    tn.add_argument("src")
+    tn.add_argument("out")
+    tt = sub.add_parser("to-torch", help="native .npz snapshot -> torch .pt")
+    tt.add_argument("src")
+    tt.add_argument("out")
+    args = p.parse_args(argv)
+
+    if args.cmd == "to-native":
+        import dataclasses
+
+        import jax
+
+        from r3m_tpu.checkpoint import (
+            import_torch_snapshot_to_state,
+            load_torch_checkpoint,
+            save_snapshot,
+        )
+        from r3m_tpu.models.r3m import R3MConfig
+        from r3m_tpu.training.trainer import create_train_state
+
+        bundle = load_torch_checkpoint(args.src, include_language=True)
+        cfg = R3MConfig(
+            size=bundle["size"],
+            langweight=1.0 if bundle.get("lang_rew") is not None else 0.0,
+        )
+        state = import_torch_snapshot_to_state(
+            args.src, create_train_state(cfg, jax.random.PRNGKey(0))
+        )
+        save_snapshot(
+            args.out,
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "key": state.key,
+            },
+            {
+                "global_step": int(np.asarray(state.step)),
+                "config": dataclasses.asdict(cfg),
+            },
+        )
+    else:
+        from r3m_tpu.checkpoint import (
+            export_torch_snapshot,
+            load_snapshot,
+            r3m_config_from_meta,
+        )
+
+        tree, meta = load_snapshot(args.src)
+        cfg = r3m_config_from_meta(meta)
+        export_torch_snapshot(
+            args.out,
+            SimpleNamespace(
+                params=tree["params"],
+                batch_stats=tree.get("batch_stats", {}),
+                step=np.asarray(meta.get("global_step", 0)),
+            ),
+            size=cfg.size,
+        )
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

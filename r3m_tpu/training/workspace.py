@@ -360,6 +360,10 @@ class Workspace:
         fetched = jax.device_get([m for _, m, _, _ in pending])
         for (step, _, sample_s, update_s), metrics in zip(pending, fetched):
             metrics = {k: float(v) for k, v in metrics.items()}
+            # host-side timings as metrics (the reference only prints them,
+            # train_representation.py:110) — CSV/wandb get the full record
+            metrics["sample_time"] = sample_s
+            metrics["update_time"] = update_s
             self.logger.log_metrics(metrics, step, ty="train")
             if step % 10 == 0:
                 print(step, metrics)

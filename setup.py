@@ -32,6 +32,7 @@ setup(
             # the reference is driven by `python train_representation.py`
             # (a repo-root script); installed commands cover the same
             # surfaces for pip-installed users
+            "r3m-convert = r3m_tpu.convert:main",
             "r3m-embed = r3m_tpu.embed:cli",
             "r3m-prepare-language = r3m_tpu.prepare_language:main",
         ],

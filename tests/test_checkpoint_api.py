@@ -378,3 +378,31 @@ def test_fetch_rejects_html_interstitial(tmp_path):
     cfg_bad.write_bytes(b"  <html>quota exceeded</html>")
     with pytest.raises(RuntimeError, match="non-artifact payload"):
         _validate_payload(str(cfg_bad), str(tmp_path / "config.yaml"))
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """to-torch -> to-native round-trips weights bit-close through the CLI."""
+    from r3m_tpu.checkpoint import load_snapshot, save_train_snapshot
+    from r3m_tpu.convert import main as convert_main
+    from r3m_tpu.models.r3m import R3MConfig
+    from r3m_tpu.training.trainer import create_train_state
+
+    cfg = R3MConfig(size=18, langweight=1.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    snap = save_train_snapshot(str(tmp_path), state, cfg, keep_step_copy=False)
+    pt = str(tmp_path / "rt.pt")
+    back = str(tmp_path / "back.npz")
+    assert convert_main(["to-torch", snap, pt]) == 0
+    assert convert_main(["to-native", pt, back]) == 0
+    tree, meta = load_snapshot(back)
+    assert meta["config"]["size"] == 18
+    np.testing.assert_allclose(
+        np.asarray(state.params["convnet"]["conv1"]["w"]),
+        np.asarray(tree["params"]["convnet"]["conv1"]["w"]),
+        atol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params["lang_rew"]),
+        jax.tree_util.tree_leaves(tree["params"]["lang_rew"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
