@@ -61,6 +61,12 @@ class R3MConfig:
     bs: int = 32
     compute_dtype: str = "float32"  # "bfloat16" for max-throughput training
     image_size: int = 224  # training/eval crop size (224 in the reference)
+    # "adam" = reference parity (models_r3m.py:76). "lars" = layer-wise
+    # trust-ratio scaling for pod-scale global batches (Goyal et al. /
+    # "ResNet-50 in 15 minutes"-style large-batch training), where plain
+    # Adam at the reference lr degrades.
+    optimizer: str = "adam"
+    weight_decay: float = 0.0  # lars only; adam matches torch (none)
 
     @property
     def out_dim(self) -> int:

@@ -55,7 +55,13 @@ def make_optimizer(cfg: R3MConfig) -> optax.GradientTransformation:
         from r3m_tpu.utils.misc import schedule_fn
 
         lr = schedule_fn(lr)
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if cfg.optimizer == "adam":
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if cfg.optimizer == "lars":
+        # large-batch scale-out (PAPERS.md: ResNet-50-in-15-min class
+        # training uses layer-wise trust-ratio scaling at batch >= 4k)
+        return optax.lars(lr, weight_decay=cfg.weight_decay)
+    raise ValueError(f"optimizer must be 'adam'|'lars', got {cfg.optimizer!r}")
 
 
 def create_train_state(

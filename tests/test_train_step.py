@@ -328,3 +328,29 @@ def test_multichip_flops_scale_down_per_device(bert_params):
     # per-device cost: 1/8 of the compute plus collective/negative-exchange
     # overhead; anywhere near 1.0 would mean replicated (not sharded) work
     assert ratio < 0.35, f"per-device flops ratio {ratio:.3f}"
+
+
+def test_lars_optimizer_option():
+    """optimizer='lars' trains (large-batch scale-out path); typos raise."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, langweight=0.0, optimizer="lars", lr=0.1)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=False)
+    batch = _fake_batch(np.random.default_rng(0), bs=4)
+    s1, m1 = step(state, batch)
+    assert np.isfinite(float(m1["full_loss"]))
+    moved = max(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                state.params, s1.params,
+            )
+        )
+    )
+    assert moved > 0
+
+    with pytest.raises(ValueError, match="optimizer"):
+        make_train_step(
+            dataclasses.replace(CFG, langweight=0.0, optimizer="lamb")
+        )
