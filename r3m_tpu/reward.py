@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from r3m_tpu.models.distilbert import sentence_embedding
 from r3m_tpu.models.language_reward import language_reward_apply
-from r3m_tpu.models.r3m import R3MConfig, r3m_embed
+from r3m_tpu.models.r3m import R3MConfig, R3MEncoder
 from r3m_tpu.text.tokenizer import WordPieceTokenizer
 
 
@@ -68,17 +68,12 @@ class R3MRewardModel:
         self.lang_max_len = lang_max_len
         self.pad_mode = pad_mode
 
-        @jax.jit
-        def _embed(params, batch_stats, obs):  # obs NCHW [0,255]
-            x = jnp.transpose(obs, (0, 2, 3, 1))
-            # HIGHEST precision: serving embeddings must match the
-            # R3MEncoder/load_r3m path (models/r3m.py pins it for torch
-            # parity) — default TPU precision would drift ~1e-2
-            emb, _ = r3m_embed(
-                cfg, params, batch_stats, x, train=False,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return emb
+        # Reuse the serving encoder (load_r3m's path): BN-folded forward,
+        # HIGHEST precision — reward embeddings are bit-identical to what
+        # `load_r3m(...)(images)` returns for the same weights.
+        self._encoder = R3MEncoder(
+            cfg, {"convnet": self.params["convnet"]}, self.batch_stats
+        )
 
         @jax.jit
         def _lang(bert_params, ids, mask):
@@ -88,7 +83,6 @@ class R3MRewardModel:
         def _reward_from_lang(params, e0, es, lang_emb):
             return language_reward_apply(params["lang_rew"], e0, es, lang_emb)
 
-        self._embed = _embed
         self._lang = _lang
         self._reward_from_lang = _reward_from_lang
 
@@ -167,11 +161,11 @@ class R3MRewardModel:
 
     # -- reference-parity surface ------------------------------------------
     def embed(self, images) -> jax.Array:
-        """NCHW [0,255] images -> [B, D] embeddings."""
-        obs = jnp.asarray(np.asarray(images, dtype=np.float32))
+        """NCHW [0,255] images -> [B, D] embeddings (the load_r3m path)."""
+        obs = np.asarray(images, dtype=np.float32)
         if obs.ndim == 3:
             obs = obs[None]
-        return self._embed(self.params, self.batch_stats, obs)
+        return self._encoder(obs)
 
     def _sentence_embeddings(self, sentences: Sequence[str]) -> jax.Array:
         max_len = None if self.pad_mode == "longest" else self.lang_max_len

@@ -111,27 +111,9 @@ def truncated_normal(key, shape, mean=0.0, std=1.0, low=-2.0, high=2.0):
 
 def schedule(schdl, step: int) -> float:
     """Parse 'linear(init,final,duration)' / 'step_linear(...)' or a float
-    constant (utils.py:143-163)."""
-    try:
-        return float(schdl)
-    except ValueError:
-        pass
-    match = re.match(r"linear\((.+),(.+),(.+)\)", schdl)
-    if match:
-        init, final, duration = (float(g) for g in match.groups())
-        mix = float(np.clip(step / duration, 0.0, 1.0))
-        return (1.0 - mix) * init + mix * final
-    match = re.match(r"step_linear\((.+),(.+),(.+),(.+),(.+)\)", schdl)
-    if match:
-        init, final1, duration1, final2, duration2 = (
-            float(g) for g in match.groups()
-        )
-        if step <= duration1:
-            mix = float(np.clip(step / duration1, 0.0, 1.0))
-            return (1.0 - mix) * init + mix * final1
-        mix = float(np.clip((step - duration1) / duration2, 0.0, 1.0))
-        return (1.0 - mix) * final1 + mix * final2
-    raise NotImplementedError(schdl)
+    constant (utils.py:143-163). One grammar, one parser: this is the
+    host-side float view of `schedule_fn`."""
+    return float(schedule_fn(schdl)(step))
 
 
 def schedule_fn(schdl):
