@@ -199,6 +199,7 @@ class Workspace:
             if bool(cfg.get("async_snapshot", True))
             else None
         )
+        self._stop_requested = False
 
     # ------------------------------------------------------------------
     def _auto_resume(self, state):
@@ -218,6 +219,16 @@ class Workspace:
             except Exception as e:
                 print(f"[resume] {path} unusable ({type(e).__name__}: {e})")
         return state
+
+    def request_stop(self):
+        """Ask the training loop to stop after the current step.
+
+        Signal-handler safe (sets a flag). Preemption path: the CLI wires
+        SIGTERM here, so an evicted job finishes its step, writes a final
+        snapshot, and exits cleanly for auto-resume on requeue — the
+        reference loses up to eval_freq=20k steps of work on eviction.
+        """
+        self._stop_requested = True
 
     @property
     def global_step(self) -> int:
@@ -292,6 +303,14 @@ class Workspace:
             # deterministic prefetch shutdown (don't rely on GC closing the
             # generator) — releases the producer thread + its HBM batches
             placed_batches.close()
+        if (
+            self._stop_requested
+            and self.is_lead
+            and cfg.get("snapshot", True)
+            and self.global_step > 0
+        ):
+            print(f"[workspace] stop requested — snapshot at step {self.global_step}")
+            self.save_snapshot()
         if self._snap_writer is not None:
             self._snap_writer.wait()  # all snapshots durable before return
 
@@ -304,7 +323,7 @@ class Workspace:
         prof_n = int(cfg.get("profile_steps", 5))
         prof_active = False
         pending = []  # [(step, device metrics dict, sample_s, update_s)]
-        while until(self.global_step):
+        while until(self.global_step) and not self._stop_requested:
             if prof_dir and not prof_active and self.global_step == prof_start:
                 jax.profiler.start_trace(prof_dir)
                 prof_active = True

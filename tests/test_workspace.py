@@ -357,3 +357,44 @@ def test_device_prefetch_surfaces_producer_error_and_clean_end():
     ws2 = _PrefetchHarness()
     gen2 = ws2._device_prefetch(iter([{"a": 1}]), depth=2)
     assert [b["a"] for b in gen2] == [1]  # finite pipe ends without error
+
+
+def test_graceful_stop_writes_final_snapshot(dataset_root, tmp_path):
+    """request_stop (the SIGTERM path) ends the loop after the current step
+    and writes a final snapshot for requeue auto-resume."""
+    import signal
+
+    import train_representation as tr
+    from r3m_tpu.checkpoint import load_snapshot
+    from r3m_tpu.training.workspace import Workspace
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "cfgs", "config_rep.yaml"),
+        overrides=[
+            f"datapath={dataset_root}", f"log_dir={tmp_path}",
+            "batch_size=2", "train_steps=50", "eval_freq=1000",
+            "num_workers=2", "agent.size=18", "agent.langweight=0.0",
+            "compute_dtype=float32", "n_devices=1", "metric_flush=1",
+            "compilation_cache_dir=",
+        ],
+    )
+    ws = Workspace(cfg)
+    # the real wiring: SIGTERM -> request_stop
+    tr._install_sigterm(ws)
+    os.kill(os.getpid(), signal.SIGTERM)
+    assert ws._stop_requested  # handler ran at the next bytecode boundary
+
+    ws._stop_requested = False  # now stop from inside the loop instead
+    orig_flush = ws._flush_train_metrics
+
+    def hook(pending):
+        orig_flush(pending)
+        if ws.global_step >= 3:
+            ws.request_stop()
+
+    ws._flush_train_metrics = hook
+    ws.train()
+    ws.close()
+    assert 3 <= ws.global_step < 50  # stopped early, after a full step
+    _, meta = load_snapshot(str(tmp_path / "snapshot.npz"))
+    assert meta["global_step"] == ws.global_step

@@ -28,6 +28,20 @@ def _honor_jax_platforms_env():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
+def _install_sigterm(ws):
+    """Graceful preemption: SIGTERM finishes the current step, writes a
+    final snapshot, and exits 0 — auto-resume continues on requeue. The
+    reference relies on submitit requeue alone and loses everything since
+    the last eval_freq snapshot."""
+    import signal
+
+    def handler(signum, frame):
+        print("[signal] SIGTERM — stopping after current step")
+        ws.request_stop()
+
+    signal.signal(signal.SIGTERM, handler)
+
+
 def main(argv=None):
     _honor_jax_platforms_env()
     argv = list(sys.argv[1:] if argv is None else argv)
@@ -56,6 +70,7 @@ def main(argv=None):
             # workspace (TPU runtime re-initializing, transient storage
             # error) is exactly what the requeue exists for
             ws = Workspace(cfg)
+            _install_sigterm(ws)
             ws.train()
             return
         except KeyboardInterrupt:
