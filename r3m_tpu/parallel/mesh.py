@@ -45,6 +45,12 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"n_devices={n_devices} requested but only {len(devices)} "
+                "visible — a silently smaller mesh would change the "
+                "global-batch semantics the caller asked for"
+            )
         devices = devices[:n_devices]
     devices = np.asarray(devices)
     if n_slices > 1:

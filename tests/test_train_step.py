@@ -354,3 +354,8 @@ def test_lars_optimizer_option():
         make_train_step(
             dataclasses.replace(CFG, langweight=0.0, optimizer="lamb")
         )
+
+
+def test_make_mesh_rejects_oversubscription():
+    with pytest.raises(ValueError, match="n_devices"):
+        make_mesh(len(jax.devices()) + 1)
