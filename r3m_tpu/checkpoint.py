@@ -293,11 +293,11 @@ def load_torch_checkpoint(path: str, include_language: bool = False) -> Dict:
     except Exception as e:
         # Retry the unsafe path ONLY for weights_only rejections (payloads
         # with non-tensor globals, e.g. OmegaConf nodes in old snapshots);
-        # a corrupt/truncated file must surface its real error, not a
+        # a corrupt/truncated file raises UnpicklingError too, but without
+        # the weights_only wording — it must surface its real error, not a
         # second confusing one from the full unpickler.
-        import pickle
-
-        if not isinstance(e, pickle.UnpicklingError) and "weights_only" not in str(e):
+        msg = str(e)
+        if "weights_only" not in msg and "Weights only" not in msg:
             raise
         payload = torch.load(path, map_location="cpu", weights_only=False)
     sd = payload["r3m"] if isinstance(payload, dict) and "r3m" in payload else payload
@@ -317,10 +317,18 @@ def import_torch_snapshot_to_state(path: str, state):
     semantics. `global_step` is restored when the payload carries one
     (train_representation.py:129).
     """
+    has_lang = "lang_rew" in state.params
+    bundle = load_torch_checkpoint(path, include_language=has_lang)
+    return import_bundle_to_state(bundle, state)
+
+
+def import_bundle_to_state(bundle: Dict, state):
+    """Seed a TrainState from an already-converted torch bundle (callers
+    that just loaded it — e.g. the convert CLI — skip a second multi-GB
+    torch.load + conversion)."""
     import jax.numpy as jnp
 
     has_lang = "lang_rew" in state.params
-    bundle = load_torch_checkpoint(path, include_language=has_lang)
 
     params = dict(state.params)
     params["convnet"] = restore_like(

@@ -279,7 +279,7 @@ def main(argv=None) -> int:
         import jax
 
         from r3m_tpu.checkpoint import (
-            import_torch_snapshot_to_state,
+            import_bundle_to_state,
             load_torch_checkpoint,
             save_snapshot,
         )
@@ -291,8 +291,8 @@ def main(argv=None) -> int:
             size=bundle["size"],
             langweight=1.0 if bundle.get("lang_rew") is not None else 0.0,
         )
-        state = import_torch_snapshot_to_state(
-            args.src, create_train_state(cfg, jax.random.PRNGKey(0))
+        state = import_bundle_to_state(
+            bundle, create_train_state(cfg, jax.random.PRNGKey(0))
         )
         save_snapshot(
             args.out,

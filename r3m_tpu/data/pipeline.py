@@ -47,9 +47,15 @@ class ProducerQueue:
     ):
         self._source = iter(source)
         self._transform = transform
-        self._reserve_first = reserve_first
         self._name = name
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, maxsize))
+        # reserve_first bounds TRANSFORMED items with a semaphore so the
+        # producer can wait for capacity BEFORE transforming; a consumer
+        # release wakes the blocked acquire instantly (the short timeout
+        # only bounds shutdown latency, it is not a poll interval)
+        self._space = (
+            threading.Semaphore(max(1, maxsize)) if reserve_first else None
+        )
         self._stop = threading.Event()
         self._err: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._produce, daemon=True)
@@ -59,10 +65,10 @@ class ProducerQueue:
         try:
             while not self._stop.is_set():
                 item = next(self._source)
-                if self._reserve_first:
-                    # single producer: a non-full queue cannot refill under us
-                    while not self._stop.is_set() and self._q.full():
-                        self._stop.wait(0.25)
+                if self._space is not None:
+                    while not self._stop.is_set():
+                        if self._space.acquire(timeout=0.25):
+                            break
                     if self._stop.is_set():
                         break
                 if self._transform is not None:
@@ -81,17 +87,22 @@ class ProducerQueue:
     def __iter__(self):
         return self
 
+    def _release(self, item):
+        if self._space is not None:
+            self._space.release()
+        return item
+
     def __next__(self):
         while True:
             # drain already-produced items before surfacing a late failure
             try:
-                return self._q.get_nowait()
+                return self._release(self._q.get_nowait())
             except queue.Empty:
                 pass
             if self._err is not None:
                 raise RuntimeError(f"{self._name} failed") from self._err
             try:
-                return self._q.get(timeout=1.0)
+                return self._release(self._q.get(timeout=1.0))
             except queue.Empty:
                 if not self._thread.is_alive() and self._q.empty():
                     # producer exited (cleanly, or close() raced this call)

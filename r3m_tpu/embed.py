@@ -103,16 +103,16 @@ def main(argv=None) -> str:
     enc = load_encoder(args)
     size = enc.cfg.image_size
 
+    from r3m_tpu.utils.misc import pad_batch
+
     chunks = []
     bs = max(1, args.batch)
     for i in range(0, len(files), bs):
+        # streamed from disk chunk-by-chunk (unlike evalsuite's in-memory
+        # _embed_chunked); tail padded so one program shape serves the job
         imgs = _load_images(files[i : i + bs], size)
         n = imgs.shape[0]
-        if n < bs:  # pad the tail: one program shape for the whole job
-            imgs = np.concatenate(
-                [imgs, np.zeros((bs - n,) + imgs.shape[1:], imgs.dtype)]
-            )
-        chunks.append(np.asarray(enc(imgs))[:n])
+        chunks.append(np.asarray(enc(pad_batch(imgs, bs)))[:n])
         print(f"embedded {min(i + bs, len(files))}/{len(files)}")
     emb = np.concatenate(chunks).astype(np.float32)
 

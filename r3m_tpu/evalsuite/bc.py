@@ -55,6 +55,8 @@ def _embed_chunked(embed_fn: Callable, images, chunk: int) -> np.ndarray:
     sizes (50k frames of 224px f32 ≈ 30 GB input) and compile a one-off
     program; fixed chunks reuse one compiled shape.
     """
+    from r3m_tpu.utils.misc import pad_batch
+
     images = np.asarray(images)
     n = images.shape[0]
     if n <= chunk:
@@ -63,9 +65,7 @@ def _embed_chunked(embed_fn: Callable, images, chunk: int) -> np.ndarray:
     for i in range(0, n, chunk):
         x = images[i : i + chunk]
         m = x.shape[0]
-        if m < chunk:
-            x = np.concatenate([x, np.repeat(x[-1:], chunk - m, axis=0)])
-        outs.append(np.asarray(embed_fn(x))[:m])
+        outs.append(np.asarray(embed_fn(pad_batch(x, chunk)))[:m])
     return np.concatenate(outs)
 
 

@@ -114,16 +114,23 @@ def _encode_and_loss(
     return r3m_loss(cfg, params, emb, lang_emb, lang_mask, perms) + (new_stats,)
 
 
-def _check_bert(cfg: R3MConfig, bert_params: Optional[Pytree]) -> Optional[Pytree]:
-    """Validate presence and coerce numpy leaves to device arrays once.
+def _check_bert(
+    cfg: R3MConfig, bert_params: Optional[Pytree], mesh=None
+) -> Optional[Pytree]:
+    """Validate presence and place the frozen weights on device(s) once.
 
     Snapshot loaders hand back numpy pytrees; numpy[tracer] indexing (the
-    embedding lookup) fails at trace time.
+    embedding lookup) fails at trace time. Under a mesh the tree must be
+    device_put with the REPLICATED sharding the jitted step declares —
+    jax.jit reshards mismatched arguments on every call, which would
+    re-broadcast ~265 MB of BERT weights each training step.
     """
     if cfg.langweight > 0 and bert_params is None:
         raise ValueError("langweight > 0 requires bert_params (frozen DistilBERT)")
     if bert_params is None:
         return None
+    if mesh is not None:
+        return jax.device_put(bert_params, replicated(mesh))
     return jax.tree_util.tree_map(jnp.asarray, bert_params)
 
 
@@ -163,7 +170,7 @@ def make_train_step(
             f"doaug must be one of 'none'|'rc'|'rctraj', got {doaug!r}"
             " — an unknown value would silently train without augmentation"
         )
-    bert_params = _check_bert(cfg, bert_params)
+    bert_params = _check_bert(cfg, bert_params, mesh)
     tx = make_optimizer(cfg)
 
     # Frozen BERT weights are passed as an explicit (replicated) jit
@@ -282,7 +289,7 @@ def make_eval_step(
     Matches the reference's `update(eval=True)` under torch.no_grad
     (train_representation.py:114-117): model.eval() + skip the step.
     """
-    bert_params = _check_bert(cfg, bert_params)
+    bert_params = _check_bert(cfg, bert_params, mesh)
 
     def eval_fn(
         state: TrainState,

@@ -76,6 +76,19 @@ class Timer:
         return time.time() - self._start_time
 
 
+def pad_batch(arr: np.ndarray, n: int) -> np.ndarray:
+    """Pad axis 0 to length `n` by repeating the last element.
+
+    Tail batches padded to the fixed chunk size keep ONE compiled program
+    shape; callers slice the padded rows off the output. Shared by the
+    BC probe's chunked embedder and the embed CLI.
+    """
+    m = arr.shape[0]
+    if m >= n:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], n - m, axis=0)])
+
+
 def soft_update_params(net_params, target_params, tau: float):
     """EMA pytree update (utils.py:42-45)."""
     return jax.tree_util.tree_map(

@@ -359,3 +359,20 @@ def test_lars_optimizer_option():
 def test_make_mesh_rejects_oversubscription():
     with pytest.raises(ValueError, match="n_devices"):
         make_mesh(len(jax.devices()) + 1)
+
+
+def test_no_per_step_transfers_on_mesh(bert_params):
+    """Steady-state sharded steps must not re-place ANY argument — a
+    mis-sharded closure/arg (e.g. single-device BERT weights vs the
+    declared replicated sharding) would silently re-broadcast ~265 MB
+    every step."""
+    mesh = make_mesh()
+    np_bert = jax.tree_util.tree_map(np.asarray, bert_params)  # numpy, as loaders return
+    state = replicate(mesh, create_train_state(CFG, jax.random.PRNGKey(0)))
+    step = make_train_step(CFG, bert_params=np_bert, mesh=mesh, donate=False)
+    batch = shard_batch(mesh, _fake_batch(np.random.default_rng(0), bs=16))
+    state, _ = step(state, batch)  # compile + first placement
+    batch2 = shard_batch(mesh, _fake_batch(np.random.default_rng(1), bs=16))
+    with jax.transfer_guard("disallow"):
+        state, metrics = step(state, batch2)
+    assert np.isfinite(float(jax.device_get(metrics["full_loss"])))
