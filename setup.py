@@ -13,6 +13,7 @@ setup(
         "TPU-native R3M: pretraining visual representations for robot "
         "manipulation from Ego4D human videos + language (JAX/XLA/Pallas)"
     ),
+    license="MIT",
     packages=find_packages(include=["r3m_tpu", "r3m_tpu.*"]),
     python_requires=">=3.10",
     install_requires=[
