@@ -51,8 +51,10 @@ void error_exit(j_common_ptr cinfo) {
 // not already HxW. Nearest-area quality is fine here: the training path
 // follows with RandomResizedCrop on device.
 void resize_box(const std::vector<uint8_t>& src, int sh, int sw, uint8_t* dst,
-                int dh, int dw) {
-  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
+                int dh, int dw, std::vector<float>& tmp) {
+  // caller-owned scratch (thread-local in decode_file): no multi-MB
+  // malloc/free per frame in the decode hot path
+  tmp.resize(static_cast<size_t>(sh) * dw * 3);
   for (int y = 0; y < sh; ++y) {
     for (int x = 0; x < dw; ++x) {
       float x0 = static_cast<float>(x) * sw / dw;
@@ -104,7 +106,7 @@ void resize_box(const std::vector<uint8_t>& src, int sh, int sw, uint8_t* dst,
 // the longjmp cannot skip their destructors (that would be UB and leak
 // the decode buffers on every corrupt frame).
 bool decode_file_impl(const char* path, uint8_t* dst, int H, int W,
-                      std::vector<uint8_t>& buf, std::vector<uint8_t>& row) {
+                      std::vector<uint8_t>& buf, std::vector<float>& scratch) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
 
@@ -138,7 +140,9 @@ bool decode_file_impl(const char* path, uint8_t* dst, int H, int W,
   jpeg_start_decompress(&cinfo);
   const int sw = cinfo.output_width;
   const int sh = cinfo.output_height;
-  const int comps = cinfo.output_components;
+  // out_color_space was forced to JCS_RGB before start_decompress, so
+  // libjpeg itself converts grayscale (and longjmps on source spaces it
+  // cannot convert): output_components is always 3 here.
 
   // Reject absurd frames (a corrupt header can declare up to 65535x65535,
   // ~12 GB of RGB even after the /8 DCT scale) before allocating for them.
@@ -148,33 +152,27 @@ bool decode_file_impl(const char* path, uint8_t* dst, int H, int W,
     return false;
   }
 
-  bool direct = (sw == W && sh == H && comps == 3);
+  bool direct = (sw == W && sh == H);
   if (!direct) buf.resize(static_cast<size_t>(sw) * sh * 3);
 
-  row.resize(static_cast<size_t>(sw) * comps);
   while (cinfo.output_scanline < cinfo.output_height) {
     const int y = cinfo.output_scanline;
-    uint8_t* target =
+    JSAMPROW rowptr =
         direct ? dst + static_cast<size_t>(y) * W * 3
                : buf.data() + static_cast<size_t>(y) * sw * 3;
-    if (comps == 3) {
-      JSAMPROW rowptr = target;
-      jpeg_read_scanlines(&cinfo, &rowptr, 1);
-    } else {  // grayscale -> replicate channels
-      JSAMPROW rowptr = row.data();
-      jpeg_read_scanlines(&cinfo, &rowptr, 1);
-      for (int x = 0; x < sw; ++x) {
-        target[x * 3 + 0] = row[x];
-        target[x * 3 + 1] = row[x];
-        target[x * 3 + 2] = row[x];
-      }
-    }
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg treats truncated entropy data as a WARNING (it inserts a fake
+  // EOI and completes with garbage rows) — a nonzero warning count means
+  // the frame is untrustworthy, so fail it (caller zero-fills + counts)
+  // instead of silently feeding corrupt frames into training.
+  const bool clean = jerr.pub.num_warnings == 0;
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
+  if (!clean) return false;
 
-  if (!direct) resize_box(buf, sh, sw, dst, H, W);
+  if (!direct) resize_box(buf, sh, sw, dst, H, W, scratch);
   return true;
 }
 
@@ -183,8 +181,11 @@ bool decode_file_impl(const char* path, uint8_t* dst, int H, int W,
 // the whole training process — a failed frame must zero-fill instead.
 bool decode_file(const char* path, uint8_t* dst, int H, int W) noexcept {
   try {
-    std::vector<uint8_t> buf, row;  // scratch owned OUTSIDE the setjmp frame
-    return decode_file_impl(path, dst, H, W, buf, row);
+    // scratch owned OUTSIDE the setjmp frame; thread_local so each worker
+    // reuses its buffers' capacity across frames (no per-frame mallocs)
+    thread_local std::vector<uint8_t> buf;
+    thread_local std::vector<float> scratch;
+    return decode_file_impl(path, dst, H, W, buf, scratch);
   } catch (...) {
     return false;
   }
@@ -270,6 +271,7 @@ struct Pipeline {
   int64_t next_fetch_seq = 0;
   int in_flight = 0;                    // submitted, not yet fetched
   int active_fetches = 0;               // fetch() calls currently executing
+  int active_submits = 0;               // submit() calls currently executing
   std::vector<Batch> ready;             // completed, unfetched batches
   std::vector<std::vector<uint8_t>> free_bufs;  // staging buffer pool
   bool stopping = false;
@@ -292,6 +294,10 @@ void* r3m_pipeline_create(int n_threads, int batch_frames, int H, int W,
                           int depth) {
   if (n_threads < 1) n_threads = 1;
   if (depth < 1) depth = 1;
+  // batch_frames == 0 would submit batches that spawn no decode jobs, so
+  // the last-frame completion path never runs: fetch() and destroy() both
+  // hang forever. Refuse to build such a pipeline.
+  if (batch_frames < 1 || H < 1 || W < 1) return nullptr;
   return new Pipeline(n_threads, batch_frames, H, W, depth);
 }
 
@@ -303,11 +309,12 @@ void r3m_pipeline_destroy(void* handle) {
     // wake submitters blocked on depth backpressure so they can observe
     // stopping and bail out instead of deadlocking against this wait
     p->cv.notify_all();
-    // wait for in-flight decodes AND executing fetches so neither jobs nor
-    // a concurrent fetch() touch a freed Pipeline
+    // wait for in-flight decodes AND executing fetches/submits so neither
+    // jobs, a concurrent fetch(), nor a submit() blocked on backpressure
+    // (or still enqueueing decode jobs) touch a freed Pipeline
     p->cv.wait(lk, [&] {
       return p->in_flight == static_cast<int>(p->ready.size()) &&
-             p->active_fetches == 0;
+             p->active_fetches == 0 && p->active_submits == 0;
     });
   }
   delete p;
@@ -329,8 +336,13 @@ int r3m_pipeline_submit(void* handle, const char** paths, int n) {
   const size_t frame = static_cast<size_t>(p->H) * p->W * 3;
   {
     std::unique_lock<std::mutex> lk(p->mu);
+    // pin the Pipeline for the WHOLE submit (incl. the pool.submit loop
+    // below, which runs unlocked): destroy() waits for active_submits == 0
+    p->active_submits += 1;
     p->cv.wait(lk, [&] { return p->in_flight < p->depth || p->stopping; });
     if (p->stopping) {
+      p->active_submits -= 1;
+      p->cv.notify_all();
       delete job;
       return -2;
     }
@@ -365,6 +377,11 @@ int r3m_pipeline_submit(void* handle, const char** paths, int n) {
       }
     });
   }
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->active_submits -= 1;
+    p->cv.notify_all();
+  }
   return 0;
 }
 
@@ -380,7 +397,10 @@ int r3m_pipeline_fetch(void* handle, uint8_t* out) {
     // pin the Pipeline: destroy() waits for active_fetches == 0, so the
     // unlocked memcpy below and the re-lock cannot hit freed memory
     p->active_fetches += 1;
-    const int64_t want = p->next_fetch_seq;
+    // CLAIM the sequence number before waiting: concurrent fetchers must
+    // wait on distinct batches (two waiters on the same seq would leave
+    // one blocked forever after the other consumes it)
+    const int64_t want = p->next_fetch_seq++;
     p->cv.wait(lk, [&] {
       for (auto& b : p->ready)
         if (b.seq == want) return true;
@@ -394,7 +414,6 @@ int r3m_pipeline_fetch(void* handle, uint8_t* out) {
         break;
       }
     }
-    p->next_fetch_seq += 1;
     p->in_flight -= 1;
   }
   std::memcpy(out, buf.data(),

@@ -98,6 +98,11 @@ def _load_library_uncached(auto_build: bool = True):
     return lib
 
 
+# The reference samples 5 frames per clip (start, end, s0, s1, s2 —
+# data_loaders.py:75-79); batch layouts everywhere are [B, 5, H, W, 3].
+FRAMES_PER_CLIP = 5
+
+
 class JpegDecoder:
     """Decode batches of JPEG paths into [N, H, W, 3] uint8 arrays."""
 
@@ -121,7 +126,16 @@ class JpegDecoder:
         n = len(paths)
         if out is None:
             out = np.empty((n, self.height, self.width, 3), dtype=np.uint8)
-        assert out.shape == (n, self.height, self.width, 3) and out.dtype == np.uint8
+        # explicit raises (NOT assert — stripped under `python -O`, after
+        # which a wrong buffer becomes a native heap-overflow write); the
+        # native path writes row-major, so the buffer must be C-contiguous
+        if out.shape != (n, self.height, self.width, 3) or out.dtype != np.uint8:
+            raise ValueError(
+                f"out must be uint8 {(n, self.height, self.width, 3)}, "
+                f"got {out.dtype} {out.shape}"
+            )
+        if not out.flags["C_CONTIGUOUS"]:
+            raise ValueError("out must be C-contiguous")
         if self._handle is not None:
             arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
             failed = self._lib.r3m_decode_batch(
@@ -190,15 +204,23 @@ class NativeFramePipeline:
                 "native pipeline unavailable — build with `make -C csrc`"
             )
         self._lib = lib
-        self._frames = batch_size * 5
+        self._frames = batch_size * FRAMES_PER_CLIP
         self._handle = lib.r3m_pipeline_create(
             n_threads, self._frames, height, width, depth
         )
+        if not self._handle:  # C side refuses degenerate dimensions
+            raise ValueError(
+                f"invalid pipeline dims: batch_size={batch_size}, "
+                f"height={height}, width={width}"
+            )
         self._captions: "list[List[str]]" = []
         for _ in range(depth):
             self._submit_one()
 
     def _submit_one(self):
+        if self._handle is None:
+            # a NULL handle passed to C would be dereferenced -> SIGSEGV
+            raise RuntimeError("pipeline is closed")
         paths, captions = self.dataset.sample_batch(self.batch_size)
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         rc = self._lib.r3m_pipeline_submit(self._handle, arr, len(paths))
@@ -212,6 +234,8 @@ class NativeFramePipeline:
         The C++ fetch copies the ring slot into a FRESH caller-owned array
         (a reused staging buffer would alias batches the prefetch queue is
         still holding, forcing a second defensive copy downstream)."""
+        if self._handle is None:
+            raise RuntimeError("pipeline is closed")
         buf = np.empty((self._frames, self.height, self.width, 3), np.uint8)
         failed = self._lib.r3m_pipeline_fetch(
             self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
@@ -220,7 +244,9 @@ class NativeFramePipeline:
             raise RuntimeError("pipeline fetch with nothing in flight")
         _warn_failed(failed, self._frames)
         captions = self._captions.pop(0)
-        clips = buf.reshape(self.batch_size, 5, self.height, self.width, 3)
+        clips = buf.reshape(
+            self.batch_size, FRAMES_PER_CLIP, self.height, self.width, 3
+        )
         self._submit_one()  # keep the ring full
         return clips, captions
 

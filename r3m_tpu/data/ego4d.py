@@ -31,7 +31,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
-from r3m_tpu.data.decoder import JpegDecoder
+from r3m_tpu.data.decoder import FRAMES_PER_CLIP, JpegDecoder
 
 
 @dataclasses.dataclass
@@ -138,7 +138,9 @@ class FrameBatcher:
     def next_batch(self) -> Tuple[np.ndarray, List[str]]:
         paths, captions = self.dataset.sample_batch(self.batch_size)
         frames = self.decoder.decode_batch(paths)
-        clips = frames.reshape(self.batch_size, 5, *frames.shape[1:])
+        clips = frames.reshape(
+            self.batch_size, FRAMES_PER_CLIP, *frames.shape[1:]
+        )
         return clips, captions
 
 

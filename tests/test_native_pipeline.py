@@ -106,3 +106,45 @@ def test_decode_batch_many_small_batches_no_race():
         for _ in range(300):  # tiny fast batches maximize the race window
             out = dec.decode_batch([p, p])
             assert out.shape == (2, 8, 8, 3)
+
+
+def test_midscan_truncated_jpeg_fails_not_garbage(tmp_path):
+    """A JPEG cut mid-entropy-data decodes 'successfully' in raw libjpeg
+    (fake EOI warning, garbage bottom rows) — the decoder must treat the
+    warning as failure and zero-fill, matching the PIL fallback."""
+    if not _native_available():
+        pytest.skip("native decoder not built")
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    good = tmp_path / "good.jpg"
+    # noise compresses poorly -> long entropy stream, so a 60% cut lands
+    # well inside the scan data (after the headers)
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)).save(
+        good, quality=95
+    )
+    data = good.read_bytes()
+    cut = tmp_path / "cut.jpg"
+    cut.write_bytes(data[: int(len(data) * 0.6)])
+
+    dec = JpegDecoder(64, 64, n_threads=1)
+    batch = dec.decode_batch([str(good), str(cut)])
+    assert batch[0].mean() > 10  # intact frame decodes
+    assert np.all(batch[1] == 0)  # truncated frame rejected, zero-filled
+
+
+def test_pipeline_rejects_degenerate_dims_and_closed_use(data_root):
+    """batch_frames=0 would hang fetch/destroy forever; a fetch after
+    close() would pass a NULL handle into C (SIGSEGV)."""
+    if not _native_available():
+        pytest.skip("native decoder not built")
+    ds = Ego4DDataset(data_root, alpha=0.2, seed=1)
+    with pytest.raises(ValueError, match="invalid pipeline dims"):
+        NativeFramePipeline(ds, batch_size=0, height=64, width=64)
+
+    pipe = NativeFramePipeline(ds, batch_size=1, height=64, width=64,
+                               n_threads=1, depth=1)
+    pipe.next_batch()
+    pipe.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        pipe.next_batch()
