@@ -25,7 +25,7 @@ interpolation.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +89,9 @@ def sample_crop_params(
 def resized_crop(
     img: jax.Array, i: jax.Array, j: jax.Array, h: jax.Array, w: jax.Array,
     out_size: int,
+    compute_dtype=jnp.float32,
+    mean: Optional[Tuple[float, ...]] = None,
+    std: Optional[Tuple[float, ...]] = None,
 ) -> jax.Array:
     """Crop [i:i+h, j:j+w] and bilinear-resize to (out_size, out_size).
 
@@ -100,8 +103,16 @@ def resized_crop(
     border whenever the crop is upscaled (the common case under
     scale=(0.2, 1.0)). Traced crop params, static shapes: implemented as a
     row gather + column gather with bilinear weights.
+
+    `compute_dtype` runs the tent-weight contractions in that dtype
+    (bfloat16 halves the HBM bytes of the full-res streaming stage; uint8
+    pixel values are exact in bfloat16 and the TPU MXU accumulates f32).
+    When `mean`/`std` are given, the /255 rescale is folded into the row
+    weights and the output is channel-normalized ((x/255 - mean)/std) in
+    `compute_dtype` — the encoder-input form, skipping a separate
+    normalize pass over the full frame (models_r3m.py:58-61).
     """
-    img = img.astype(jnp.float32)
+    img = img.astype(compute_dtype)
     hi, wi = img.shape[0], img.shape[1]
     o = jnp.arange(out_size, dtype=jnp.float32) + 0.5
     # sample positions: crop coordinates clamped inside the crop, then
@@ -118,35 +129,61 @@ def resized_crop(
     wx = jnp.maximum(
         0.0, 1.0 - jnp.abs(jnp.arange(wi, dtype=jnp.float32)[None, :] - x[:, None])
     )  # [out, W]
-    rows = jnp.einsum("oh,hwc->owc", wy, img)
-    return jnp.einsum("pw,owc->opc", wx, rows)
+    if mean is not None:
+        wy = wy * (1.0 / 255.0)  # fold the 0-255 -> 0-1 rescale into the weights
+    rows = jnp.einsum("oh,hwc->owc", wy.astype(compute_dtype), img)
+    out = jnp.einsum("pw,owc->opc", wx.astype(compute_dtype), rows)
+    if mean is not None:
+        m = jnp.asarray(mean, dtype=compute_dtype)
+        inv = jnp.asarray([1.0 / s for s in std], dtype=compute_dtype)
+        out = (out - m) * inv
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "mode", "scale"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "mode", "scale", "compute_dtype", "mean", "std"),
+)
 def random_resized_crop_clips(
     key: jax.Array,
     clips: jax.Array,
     out_size: int = 224,
     mode: str = "rctraj",
     scale: Tuple[float, float] = (0.2, 1.0),
+    compute_dtype=jnp.float32,
+    mean: Optional[Tuple[float, ...]] = None,
+    std: Optional[Tuple[float, ...]] = None,
 ) -> jax.Array:
-    """Augment [B, F, H, W, C] clip tuples -> [B, F, out, out, C] float32.
+    """Augment [B, F, H, W, C] clip tuples -> [B, F, out, out, C].
 
-    ``rctraj``: one crop per clip shared by its F frames. ``rc``: one crop
-    per frame. ``none``: identity resize-free passthrough (requires
-    H == W == out_size).
+    ``rctraj``: one crop per clip shared by its F frames. ``rc``: an
+    independent crop per frame. ``none``: identity resize-free passthrough
+    (requires H == W == out_size).
+
+    Default output: `compute_dtype` values in [0, 255] (float32 = the
+    round-1 contract). With `mean`/`std` set, the output is instead the
+    normalized encoder-input form ((x/255 - mean)/std) with the rescale
+    folded into the crop weights — see `resized_crop`.
     """
     b, f, hgt, wid, c = clips.shape
     if mode not in ("rc", "rctraj"):
         assert hgt == out_size and wid == out_size, "mode=none needs pre-sized frames"
-        return clips.astype(jnp.float32)
+        x = clips.astype(compute_dtype)
+        if mean is not None:
+            m = jnp.asarray(mean, dtype=compute_dtype)
+            inv = jnp.asarray([1.0 / (255.0 * s) for s in std], dtype=compute_dtype)
+            x = (x - 255.0 * m) * inv
+        return x
 
+    crop = functools.partial(
+        resized_crop, compute_dtype=compute_dtype, mean=mean, std=std
+    )
     if mode == "rctraj":
         keys = jax.random.split(key, b)
 
         def one_clip(k, clip):
             i, j, h, w = sample_crop_params(k, hgt, wid, scale)
-            return jax.vmap(lambda im: resized_crop(im, i, j, h, w, out_size))(clip)
+            return jax.vmap(lambda im: crop(im, i, j, h, w, out_size))(clip)
 
         return jax.vmap(one_clip)(keys, clips)
 
@@ -154,6 +191,6 @@ def random_resized_crop_clips(
 
     def one_frame(k, im):
         i, j, h, w = sample_crop_params(k, hgt, wid, scale)
-        return resized_crop(im, i, j, h, w, out_size)
+        return crop(im, i, j, h, w, out_size)
 
     return jax.vmap(jax.vmap(one_frame))(keys, clips)

@@ -121,20 +121,28 @@ def r3m_embed(
     *,
     train: bool = False,
     precision=None,
+    prenormalized: bool = False,
 ) -> Tuple[jax.Array, Pytree]:
     """Images -> embeddings (reference `forward`, models_r3m.py:84-100).
 
     `obs`: NHWC float/int in [0, 255]. Applies the shape-dependent
     preprocess, runs the backbone, returns ([B, out_dim] f32, new stats).
+
+    `prenormalized=True` skips the /255 + mean/std preprocess: the caller
+    already emitted encoder-input-form frames (the augmentation stage
+    folds normalization into its crop weights — `data/augment.py`).
     """
-    mean, std = cfg.norm_stats
-    x = r3m_preprocess(
-        obs,
-        mean,
-        std,
-        crop_size=cfg.image_size,
-        resize_to=max(1, round(cfg.image_size * 256 / 224)),
-    )
+    if prenormalized:
+        x = obs
+    else:
+        mean, std = cfg.norm_stats
+        x = r3m_preprocess(
+            obs,
+            mean,
+            std,
+            crop_size=cfg.image_size,
+            resize_to=max(1, round(cfg.image_size * 256 / 224)),
+        )
     if cfg.size == 0:
         from r3m_tpu.models.vit import vit_b32_apply
 

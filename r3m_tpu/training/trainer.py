@@ -90,13 +90,14 @@ def _encode_and_loss(
     batch: Dict[str, jax.Array],
     perms: Dict[str, jax.Array],
     train: bool,
+    prenormalized: bool = False,
 ):
     """Shared forward: returns (full_loss, (metrics, new_batch_stats))."""
-    images = batch["images"]  # [B, 5, H, W, 3] float in [0, 255]
+    images = batch["images"]  # [B, 5, H, W, 3]; [0,255] unless prenormalized
     bs = images.shape[0]
     flat = jnp.reshape(images, (bs * 5,) + images.shape[2:])
     emb, new_stats = r3m_embed(
-        cfg, params, batch_stats, flat, train=train
+        cfg, params, batch_stats, flat, train=train, prenormalized=prenormalized
     )
     emb = jnp.reshape(emb, (bs, 5, -1))
 
@@ -181,10 +182,23 @@ def make_train_step(
         state: TrainState, batch: Dict[str, jax.Array], bert: Optional[Pytree]
     ):
         key, aug_key, new_key = jax.random.split(state.key, 3)
-        if doaug in ("rc", "rctraj"):
+        prenorm = doaug in ("rc", "rctraj")
+        if prenorm:
+            # Fused augment: crop weights carry the /255 rescale and the
+            # output is channel-normalized encoder input in the compute
+            # dtype — bfloat16 halves the HBM bytes of the one stage that
+            # streams full-resolution frames (uint8 pixel values are exact
+            # in bfloat16; the MXU accumulates f32).
+            mean, std = cfg.norm_stats
             batch = dict(batch)
             batch["images"] = random_resized_crop_clips(
-                aug_key, batch["images"], out_size=cfg.image_size, mode=doaug
+                aug_key,
+                batch["images"],
+                out_size=cfg.image_size,
+                mode=doaug,
+                compute_dtype=cfg.jnp_compute_dtype,
+                mean=mean,
+                std=std,
             )
         bs = batch["images"].shape[0]
 
@@ -207,7 +221,7 @@ def make_train_step(
 
                 def loss_fn(params):
                     loss, metrics, new_stats = _encode_and_loss(
-                        cfg, params, stats, bert, mb, perms, True
+                        cfg, params, stats, bert, mb, perms, True, prenorm
                     )
                     return loss, (metrics, new_stats)
 
@@ -230,7 +244,7 @@ def make_train_step(
 
             def loss_fn(params):
                 loss, metrics, new_stats = _encode_and_loss(
-                    cfg, params, state.batch_stats, bert, batch, perms, True
+                    cfg, params, state.batch_stats, bert, batch, perms, True, prenorm
                 )
                 return loss, (metrics, new_stats)
 

@@ -104,3 +104,52 @@ def test_resized_crop_upscale_matches_torch(rng):
             jnp.asarray(img), float(i), float(j), float(h), float(w), 32
         )
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_normalize_matches_composition(rng):
+    """mean/std-fused crop output == crop -> /255 -> normalize (f32 exact-ish,
+    bf16 within bf16 rounding of the normalized range)."""
+    from r3m_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD, normalize
+
+    clips = jnp.asarray(
+        rng.uniform(0, 255, size=(2, 5, 48, 48, 3)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(11)
+    ref = normalize(
+        random_resized_crop_clips(key, clips, out_size=32) / 255.0,
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    fused = random_resized_crop_clips(
+        key, clips, out_size=32, mean=IMAGENET_MEAN, std=IMAGENET_STD
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+    fused_bf16 = random_resized_crop_clips(
+        key,
+        clips,
+        out_size=32,
+        compute_dtype=jnp.bfloat16,
+        mean=IMAGENET_MEAN,
+        std=IMAGENET_STD,
+    )
+    assert fused_bf16.dtype == jnp.bfloat16
+    # normalized ImageNet range is ~[-2.1, 2.6]; bf16 tent weights give
+    # ~0.4% relative error on the [0,1] pixel value -> <=0.1 absolute here
+    np.testing.assert_allclose(
+        np.asarray(fused_bf16, dtype=np.float32), np.asarray(ref), atol=0.1
+    )
+
+
+def test_fused_normalize_mode_none(rng):
+    from r3m_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD, normalize
+
+    clips = jnp.asarray(
+        rng.uniform(0, 255, size=(2, 5, 32, 32, 3)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(0)
+    ref = normalize(clips / 255.0, IMAGENET_MEAN, IMAGENET_STD)
+    out = random_resized_crop_clips(
+        key, clips, out_size=32, mode="none", mean=IMAGENET_MEAN, std=IMAGENET_STD
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
