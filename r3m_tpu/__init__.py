@@ -87,16 +87,40 @@ def cleanup_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _load_from_artifacts(modelpath: str, configpath: str) -> R3MEncoder:
+    import dataclasses
+
     import yaml
 
     from r3m_tpu.checkpoint import load_torch_checkpoint
+    from r3m_tpu.utils.config import _resolve, agent_to_r3m_config
 
     with open(configpath) as f:
-        raw_cfg = yaml.safe_load(f)
+        raw_cfg = yaml.safe_load(f) or {}
     agent = cleanup_config(raw_cfg)
+    # Real checkpoint folders ship the TRAINING config, whose agent node
+    # contains OmegaConf interpolations ('lr: ${lr}', 'bs: ${batch_size}' —
+    # /root/reference/r3m/cfgs/config_rep.yaml:33,41); the reference
+    # resolves them with OmegaConf (r3m/__init__.py:69-70). Resolve against
+    # the root config here, dropping values whose referent is absent
+    # (hydra-launcher-only keys) so a literal '${lr}' string can never
+    # reach R3MConfig.
+    resolved: Dict[str, Any] = {}
+    for k, v in agent.items():
+        try:
+            v = _resolve(v, raw_cfg)
+        except (KeyError, ValueError):
+            continue
+        if isinstance(v, str) and "${" in v:
+            continue  # unsupported resolver form (e.g. ${oc.env:...})
+        resolved[k] = v
     bundle = load_torch_checkpoint(modelpath, include_language=False)
-    agent["size"] = bundle["size"]  # trust the weights over the config
-    cfg = R3MConfig(**{k: v for k, v in agent.items() if k in R3MConfig.__dataclass_fields__})
+    # agent_to_r3m_config also coerces pyyaml's stringly scalars
+    # ('1e-4' -> float), matching OmegaConf's typed parse.
+    cfg = dataclasses.replace(
+        agent_to_r3m_config(resolved),
+        size=bundle["size"],  # trust the weights over the config
+        langweight=0.0,
+    )
     return R3MEncoder(
         cfg,
         params={"convnet": bundle["convnet"]["params"]},

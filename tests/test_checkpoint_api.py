@@ -406,3 +406,90 @@ def test_convert_cli_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(tree["params"]["lang_rew"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_load_with_verbatim_reference_config(fake_reference_artifacts, tmp_path):
+    """Real checkpoint folders ship the TRAINING config with OmegaConf
+    interpolations (`lr: ${lr}`, `bs: ${batch_size}`, `device: ${device}` —
+    /root/reference/r3m/cfgs/config_rep.yaml:33,41). Loading must resolve
+    them against the root (as the reference's OmegaConf.load does,
+    r3m/__init__.py:69-70) so junk strings never reach R3MConfig."""
+    _, modelpath, _ = fake_reference_artifacts
+    # verbatim copy of /root/reference/r3m/cfgs/config_rep.yaml
+    configpath = str(tmp_path / "config.yaml")
+    with open(configpath, "w") as f:
+        f.write(
+            """defaults:
+  - _self_
+  - override hydra/launcher:  local
+  - override hydra/output:  local
+
+
+# snapshot
+save_snapshot: false
+load_snap: ""
+# replay buffer
+num_workers: 10
+batch_size: 32 #256
+train_steps: 2000000
+eval_freq: 20000
+# misc
+seed: 1
+device: cuda
+# experiment
+experiment: train_r3m
+# agent
+lr: 1e-4
+# data
+alpha: 0.2
+dataset: "ego4d"
+wandbproject: 
+wandbuser: 
+doaug: "none"
+datapath: 
+
+agent:
+  _target_: r3m.R3M
+  device: ${device}
+  lr: ${lr}
+  hidden_dim: 1024
+  size: 34
+  l2weight: 0.00001
+  l1weight: 0.00001
+  tcnweight: 1.0
+  langweight: 0.0
+  l2dist: true
+  bs: ${batch_size}
+"""
+        )
+    model = load_r3m_from_files(modelpath, configpath)
+    # interpolations resolved + typed: lr is the root's 1e-4 as a FLOAT
+    # (pyyaml parses exponent-only literals as strings), bs the root's 32
+    assert model.cfg.lr == pytest.approx(1e-4)
+    assert isinstance(model.cfg.lr, float)
+    assert model.cfg.bs == 32
+    assert model.cfg.size == 18  # weights win over the config's size: 34
+    assert model.cfg.langweight == 0
+    # the config must be optimizer-ready (a literal '${lr}' string would
+    # die in the schedule parser)
+    from r3m_tpu.training.trainer import make_optimizer
+
+    make_optimizer(model.cfg)
+
+    obs = np.zeros((1, 3, 224, 224), np.float32)
+    assert np.asarray(model(obs)).shape == (1, 512)
+
+
+def test_load_with_unresolvable_interpolation_dropped(
+    fake_reference_artifacts, tmp_path
+):
+    """Agent values referencing keys absent from the root (hydra-only
+    sections) are dropped, falling back to R3MConfig defaults."""
+    _, modelpath, _ = fake_reference_artifacts
+    configpath = str(tmp_path / "config.yaml")
+    with open(configpath, "w") as f:
+        yaml.safe_dump(
+            {"agent": {"lr": "${oc.env:LR}", "hidden_dim": 1024, "size": 18}}, f
+        )
+    model = load_r3m_from_files(modelpath, configpath)
+    assert model.cfg.lr == 1e-4  # R3MConfig default, not the junk string
