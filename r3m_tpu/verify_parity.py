@@ -1,0 +1,167 @@
+"""One-command parity check: published torch checkpoint vs the TPU build.
+
+    python -m r3m_tpu.verify_parity <model.pt> [config.yaml] [--images N]
+
+Loads the artifact twice — through this package's converter chain
+(`load_r3m_from_files`, the path behind `load_r3m`,
+``/root/reference/r3m/__init__.py:44-75``) and through an executable torch
+reference forward (real torchvision when installed, else the
+architecture-faithful oracle in `r3m_tpu.torch_oracle`) — runs both on the
+same seeded images with the reference's preprocessing, and prints one JSON
+line of cosine statistics against the BASELINE.json bar (>= 0.999).
+
+The environment this framework was built in has no network egress, so the
+actual Google-Drive ``model.pt`` artifacts could never be fetched; this CLI
+makes the north-star parity number mechanical the moment the artifacts are
+available:
+
+    python -m r3m_tpu.fetch resnet50   # or any pre-downloaded model.pt
+    python -m r3m_tpu.verify_parity ~/.r3m/r3m_50/model.pt ~/.r3m/r3m_50/config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+COSINE_BAR = 0.999  # BASELINE.json north-star parity bar
+
+
+def _torch_forward(modelpath: str, images: np.ndarray) -> Optional[np.ndarray]:
+    """Reference-style forward: torch model + /255 + ImageNet normalize.
+
+    Returns None when torch is unavailable (conversion-only mode).
+    """
+    try:
+        import torch
+
+        from r3m_tpu.torch_oracle import torch_resnet
+    except ImportError:
+        return None
+    from r3m_tpu.convert import detect_resnet_size, remove_language_head, strip_prefix
+
+    payload = torch.load(modelpath, map_location="cpu")
+    sd = payload["r3m"] if isinstance(payload, dict) and "r3m" in payload else payload
+    sd = remove_language_head(strip_prefix(sd))
+    sd = {k[len("convnet."):]: v for k, v in sd.items() if k.startswith("convnet.")}
+    size = detect_resnet_size(sd)
+    model = torch_resnet(size).eval()
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    # num_batches_tracked keys are absent from hand-rolled oracles; anything
+    # else missing means the torch side cannot serve as a reference
+    real_missing = [k for k in missing if not k.endswith("num_batches_tracked")]
+    if real_missing or unexpected:
+        print(
+            f"[verify_parity] torch reference load mismatch — missing={real_missing[:5]} "
+            f"unexpected={list(unexpected)[:5]}",
+            file=sys.stderr,
+        )
+        return None
+    x = torch.from_numpy(images) / 255.0
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    with torch.no_grad():
+        return model((x - mean) / std).numpy()
+
+
+def verify_parity(
+    modelpath: str,
+    configpath: Optional[str] = None,
+    n_images: int = 8,
+    seed: int = 0,
+    image_size: Optional[int] = None,
+) -> Dict:
+    """Run the parity check; returns the stats dict (also printed by main).
+
+    Images are generated at the model's native input size (cfg.image_size,
+    224 for the published checkpoints) so both paths apply the identical
+    /255 + ImageNet-normalize preprocessing and nothing else. A non-native
+    `image_size` would additionally route through this package's
+    Resize(256)+CenterCrop law on one side only, so it is rejected in
+    torch-reference mode.
+    """
+    from r3m_tpu import load_r3m_from_files
+
+    enc = load_r3m_from_files(modelpath, configpath)
+    if image_size is None:
+        image_size = enc.cfg.image_size
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(0, 255, size=(n_images, 3, image_size, image_size))
+    images = images.astype(np.float32)
+
+    ours = np.asarray(enc(images), dtype=np.float64)
+    result: Dict = {
+        "model": modelpath,
+        "size": enc.cfg.size,
+        "out_dim": int(ours.shape[-1]),
+        "images": n_images,
+        "bar": COSINE_BAR,
+    }
+
+    if image_size != enc.cfg.image_size:
+        result.update(
+            {
+                "mode": "convert-only",
+                "ok": bool(np.all(np.isfinite(ours))),
+                "note": f"image_size {image_size} != native {enc.cfg.image_size}; "
+                "preprocessing would differ between paths — finite-forward check only",
+            }
+        )
+        return result
+
+    ref = _torch_forward(modelpath, images)
+    if ref is None:
+        result.update(
+            {
+                "mode": "convert-only",
+                "ok": bool(np.all(np.isfinite(ours))),
+                "note": "torch reference unavailable; checked conversion + finite forward only",
+            }
+        )
+        return result
+
+    ref = ref.astype(np.float64)
+    cos = np.sum(ours * ref, -1) / (
+        np.linalg.norm(ours, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    result.update(
+        {
+            "mode": "torch-reference",
+            "cosine_min": float(np.min(cos)),
+            "cosine_mean": float(np.mean(cos)),
+            "max_abs_diff": float(np.max(np.abs(ours - ref))),
+            "ok": bool(np.min(cos) >= COSINE_BAR),
+        }
+    )
+    return result
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m r3m_tpu.verify_parity", description=__doc__
+    )
+    p.add_argument("modelpath", help="path to a torch model.pt artifact")
+    p.add_argument("configpath", nargs="?", default=None)
+    p.add_argument("--images", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--image-size",
+        type=int,
+        default=None,
+        help="input size for the generated probe images (default: the "
+        "model's native cfg.image_size; other sizes run convert-only)",
+    )
+    a = p.parse_args(argv)
+    result = verify_parity(
+        a.modelpath, a.configpath, a.images, a.seed, a.image_size
+    )
+    print(json.dumps(result))
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""`python -m r3m_tpu.verify_parity` — mechanical checkpoint-parity CLI.
+
+Runs the CLI's core function against the synthetic reference-layout torch
+artifacts (the same fixture the converter tests use), checking that the
+north-star cosine stats are produced and meet the BASELINE.json bar — so
+the moment an environment has the real Google-Drive ``model.pt``, the
+parity number is one command away (VERDICT round-1 item 5).
+"""
+
+import json
+
+import numpy as np
+import pytest
+import torch
+import yaml
+
+from r3m_tpu.verify_parity import COSINE_BAR, main, verify_parity
+
+from .torch_ref import torch_resnet
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vp_ckpt")
+    tm = torch_resnet(18).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+    sd = {f"module.convnet.{k}": v for k, v in tm.state_dict().items()}
+    sd["module.lang_rew.pred.0.weight"] = torch.zeros(8, 8)
+    modelpath = str(d / "model.pt")
+    torch.save({"r3m": sd}, modelpath)
+    configpath = str(d / "config.yaml")
+    with open(configpath, "w") as f:
+        yaml.safe_dump({"lr": 1e-4, "agent": {"lr": "${lr}", "size": 18}}, f)
+    return modelpath, configpath
+
+
+def test_verify_parity_passes_on_roundtrip(artifacts):
+    modelpath, configpath = artifacts
+    result = verify_parity(modelpath, configpath, n_images=4)
+    assert result["mode"] == "torch-reference"
+    assert result["size"] == 18
+    assert result["cosine_min"] >= COSINE_BAR
+    assert result["ok"] is True
+
+
+def test_verify_parity_cli_exit_codes(artifacts, capsys):
+    modelpath, configpath = artifacts
+    rc = main([modelpath, configpath, "--images", "2"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and out["ok"] is True
+
+
+def test_verify_parity_non_native_size_is_convert_only(artifacts):
+    """A probe size != cfg.image_size would route through the package's
+    Resize(256)+CenterCrop on one side only; the CLI must refuse to call
+    that 'parity' and fall back to the finite-forward check."""
+    modelpath, configpath = artifacts
+    result = verify_parity(modelpath, configpath, n_images=2, image_size=64)
+    assert result["mode"] == "convert-only"
+    assert result["ok"] is True
+
+
+def test_verify_parity_detects_weight_divergence(artifacts, tmp_path):
+    """The measurement genuinely reflects the weights: perturbing one conv
+    changes the embeddings, while each artifact still round-trips against
+    its own torch reference (the comparison is converter-vs-torch, and both
+    see the same perturbed weights)."""
+    modelpath, configpath = artifacts
+    payload = torch.load(modelpath, map_location="cpu")
+    bad = dict(payload["r3m"])
+    k = "module.convnet.layer1.0.conv1.weight"
+    with torch.no_grad():
+        bad[k] = bad[k] + torch.randn_like(bad[k]) * 0.5
+    badpath = str(tmp_path / "model.pt")
+    torch.save({"r3m": bad}, badpath)
+
+    perturbed = verify_parity(badpath, configpath, n_images=2)
+    assert perturbed["mode"] == "torch-reference"
+    assert perturbed["cosine_min"] >= COSINE_BAR  # internal consistency holds
+
+    # cross-check: embeddings of good vs bad artifacts genuinely differ
+    from r3m_tpu import load_r3m_from_files
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 255, size=(2, 3, 224, 224)).astype(np.float32)
+    e_good = np.asarray(load_r3m_from_files(modelpath, configpath)(images))
+    e_bad = np.asarray(load_r3m_from_files(badpath, configpath)(images))
+    assert np.max(np.abs(e_good - e_bad)) > 1e-2
