@@ -82,3 +82,32 @@ def shard_batch(mesh: Mesh, batch: Pytree) -> Pytree:
 def replicate(mesh: Mesh, tree: Pytree) -> Pytree:
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def place_host_batch(
+    mesh: Optional[Mesh], batch: Pytree, multihost: Optional[bool] = None
+) -> Pytree:
+    """Place one host's batch contribution onto the device(s).
+
+    Single-host: the host batch IS the global batch — `device_put` each leaf
+    with its batch axis split across the mesh. Multi-host (`multihost=True`,
+    defaulting to `jax.process_count() > 1`): the host batch is this
+    process's SLICE of the global batch; `make_array_from_process_local_data`
+    assembles the global jax.Array from the per-process slices, preserving
+    the reference's DataParallel global-batch semantics
+    (``/root/reference/r3m/train_representation.py:29-31``) across hosts.
+    No mesh: plain single-device transfer.
+    """
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+    if multihost is None:
+        multihost = jax.process_count() > 1
+    sharding = batch_sharded(mesh)
+    if multihost:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

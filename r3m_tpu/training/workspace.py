@@ -35,10 +35,9 @@ from r3m_tpu.data.ego4d import Ego4DDataset, FrameBatcher
 from r3m_tpu.data.pipeline import DataPipeline
 from r3m_tpu.models.r3m import R3MConfig
 from r3m_tpu.parallel.mesh import (
-    batch_sharded,
     make_mesh,
+    place_host_batch,
     replicate,
-    shard_batch,
 )
 from r3m_tpu.training.trainer import (
     create_train_state,
@@ -239,16 +238,9 @@ class Workspace:
 
     def _place(self, batch: Dict) -> Dict:
         batch = {k: v for k, v in batch.items() if k != "captions"}
-        if self.mesh is not None:
-            if jax.process_count() > 1:
-                # each host contributes its local slice of the global batch
-                sh = batch_sharded(self.mesh)
-                return jax.tree_util.tree_map(
-                    lambda x: jax.make_array_from_process_local_data(sh, x),
-                    batch,
-                )
-            return shard_batch(self.mesh, batch)
-        return jax.tree_util.tree_map(jnp.asarray, batch)
+        # multihost => each host contributes its local slice of the global
+        # batch (tested single-process via place_host_batch(multihost=True))
+        return place_host_batch(self.mesh, batch)
 
     def _device_prefetch(self, pipe, depth: int = 2):
         """Generator: host batches placed onto the device up to N steps ahead.

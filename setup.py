@@ -36,6 +36,7 @@ setup(
             "r3m-convert = r3m_tpu.convert:main",
             "r3m-embed = r3m_tpu.embed:cli",
             "r3m-prepare-language = r3m_tpu.prepare_language:main",
+            "r3m-verify-parity = r3m_tpu.verify_parity:main",
         ],
     },
 )

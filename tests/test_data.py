@@ -46,6 +46,27 @@ def test_manifest_sharding(dataset_root):
     assert set(a._paths).isdisjoint(set(b._paths))
 
 
+def test_manifest_sharding_disjoint_and_covering(dataset_root):
+    """Per-host manifest shards (ego4d.py shard_index/num_shards — the
+    multi-host input path) must partition the full manifest: pairwise
+    disjoint, jointly covering, and sized within one row of each other for
+    every shard count, including counts that don't divide the manifest."""
+    full = Ego4DDataset(dataset_root)
+    all_paths = set(full._paths)
+    for num_shards in (2, 3, len(full) - 1):
+        shards = [
+            Ego4DDataset(dataset_root, shard_index=i, num_shards=num_shards)
+            for i in range(num_shards)
+        ]
+        seen = []
+        for s in shards:
+            seen.extend(s._paths)
+        assert len(seen) == len(full)  # no duplicates across hosts
+        assert set(seen) == all_paths  # nothing dropped
+        sizes = [len(s) for s in shards]
+        assert max(sizes) - min(sizes) <= 1  # balanced host load
+
+
 def test_frame_batcher_shapes(dataset_root):
     ds = Ego4DDataset(dataset_root, seed=1)
     fb = FrameBatcher(ds, batch_size=4, height=64, width=64)

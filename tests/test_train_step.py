@@ -376,3 +376,38 @@ def test_no_per_step_transfers_on_mesh(bert_params):
     with jax.transfer_guard("disallow"):
         state, metrics = step(state, batch2)
     assert np.isfinite(float(jax.device_get(metrics["full_loss"])))
+
+
+def test_place_host_batch_multihost_branch(bert_params):
+    """Single-process exercise of the multi-host placement path
+    (workspace._place -> place_host_batch(multihost=True)): with one
+    process the local slice IS the global batch, so
+    make_array_from_process_local_data must produce arrays identical in
+    shape, sharding, and value to the single-host device_put path."""
+    from r3m_tpu.parallel.mesh import batch_sharded, place_host_batch
+
+    mesh = make_mesh()
+    batch = _fake_batch(np.random.default_rng(0), bs=16)
+    single = place_host_batch(mesh, batch, multihost=False)
+    multi = place_host_batch(mesh, batch, multihost=True)
+    sh = batch_sharded(mesh)
+    for k in batch:
+        assert multi[k].shape == single[k].shape == batch[k].shape
+        assert multi[k].sharding == sh
+        np.testing.assert_array_equal(
+            np.asarray(multi[k]), np.asarray(single[k])
+        )
+    # and the placed batch actually drives a sharded train step
+    state = replicate(mesh, create_train_state(CFG, jax.random.PRNGKey(0)))
+    step = make_train_step(CFG, bert_params=bert_params, mesh=mesh, donate=False)
+    _, metrics = step(state, multi)
+    assert np.isfinite(float(jax.device_get(metrics["full_loss"])))
+
+
+def test_place_host_batch_no_mesh():
+    from r3m_tpu.parallel.mesh import place_host_batch
+
+    batch = {"clips": np.ones((2, 5, 8, 8, 3), np.uint8)}
+    placed = place_host_batch(None, batch)
+    assert isinstance(placed["clips"], jax.Array)
+    assert placed["clips"].shape == batch["clips"].shape
