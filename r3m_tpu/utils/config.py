@@ -20,6 +20,7 @@ import yaml
 
 _INTERP = re.compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")
 _INTERP_EMBEDDED = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
+_NOW = re.compile(r"\$\{now:([^}]+)\}")
 _MISSING = object()  # sentinel: distinguish absent keys from null values
 
 
@@ -74,11 +75,18 @@ def _parse_value(text: str) -> Any:
         return text
 
 
-def _resolve(node: Any, root: Dict, _stack: tuple = ()) -> Any:
+def _resolve(node: Any, root: Dict, _stack: tuple = (), _now=None) -> Any:
+    if _now is None:
+        # one timestamp per top-level resolve: every ${now:} in a config
+        # names the SAME instant (Hydra run-dir semantics — a launch maps
+        # to exactly one date-templated directory)
+        import time
+
+        _now = time.localtime()
     if isinstance(node, dict):
-        return {k: _resolve(v, root, _stack) for k, v in node.items()}
+        return {k: _resolve(v, root, _stack, _now) for k, v in node.items()}
     if isinstance(node, list):
-        return [_resolve(v, root, _stack) for v in node]
+        return [_resolve(v, root, _stack, _now) for v in node]
     if isinstance(node, str):
         def lookup(key: str, expr: str):
             if key in _stack:
@@ -90,7 +98,15 @@ def _resolve(node: Any, root: Dict, _stack: tuple = ()) -> Any:
             if ref is _MISSING:
                 raise KeyError(f"unresolvable interpolation: {expr}")
             # null-valued keys (n_devices: ~) resolve to None, as OmegaConf
-            return _resolve(ref, root, _stack + (key,))
+            return _resolve(ref, root, _stack + (key,), _now)
+
+        if _NOW.search(node):
+            # OmegaConf's `now` resolver — the reference's date-templated
+            # run dirs (r3m/cfgs/hydra/output/local.yaml:3-8, e.g.
+            # `log_dir: ./r3moutput/${now:%Y-%m-%d}_${now:%H-%M-%S}`)
+            import time
+
+            node = _NOW.sub(lambda mm: time.strftime(mm.group(1), _now), node)
 
         m = _INTERP.match(node)
         if m:  # whole-string interpolation keeps the referent's TYPE

@@ -76,3 +76,27 @@ def test_invalid_doaug_rejected():
 
     with pytest.raises(ValueError, match="doaug"):
         make_train_step(R3MConfig(size=18, langweight=0.0), doaug="rctrja")
+
+
+def test_now_resolver_expands_run_dir(tmp_path):
+    """The reference's Hydra output config date-templates run dirs with
+    ${now:FMT} (r3m/cfgs/hydra/output/local.yaml:3-8); load_config must
+    expand the same syntax, with every occurrence naming one instant."""
+    import re
+    import time
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "log_dir: ./r3moutput/${now:%Y-%m-%d}_${now:%H-%M-%S}\n"
+        "snap_dir: ${log_dir}/snaps\n"
+    )
+    before = time.localtime()
+    cfg = load_config(str(p))
+    assert "${" not in cfg["log_dir"]
+    m = re.fullmatch(
+        r"\./r3moutput/(\d{4}-\d{2}-\d{2})_(\d{2}-\d{2}-\d{2})", cfg["log_dir"]
+    )
+    assert m, cfg["log_dir"]
+    assert m.group(1) >= time.strftime("%Y-%m-%d", before)
+    # chained interpolation sees the expanded value
+    assert cfg["snap_dir"] == cfg["log_dir"] + "/snaps"
