@@ -9,6 +9,7 @@ from r3m_tpu.evalsuite.bc import bc_probe
 from r3m_tpu.models.r3m import R3MConfig, R3MEncoder, r3m_init
 
 
+@pytest.mark.slow
 def test_bc_probe_learns(rng):
     cfg = R3MConfig(size=18)
     state = r3m_init(jax.random.PRNGKey(0), cfg)
@@ -27,6 +28,7 @@ def test_bc_probe_learns(rng):
     assert res["embed_dim"] == 512
 
 
+@pytest.mark.slow
 def test_bc_probe_proprio_concat(rng):
     cfg = R3MConfig(size=18)
     state = r3m_init(jax.random.PRNGKey(1), cfg)

@@ -39,6 +39,7 @@ def test_snapshot_roundtrip(tmp_path):
     assert loaded["none"] is None  # None round-trips
 
 
+@pytest.mark.slow
 def test_train_state_snapshot_resume(tmp_path):
     cfg = R3MConfig(size=18, tcnweight=1.0, langweight=0.0, image_size=32)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -187,6 +188,7 @@ def test_load_r3m_uses_cache_layout(fake_reference_artifacts, tmp_path, monkeypa
         load_r3m("resnet99")
 
 
+@pytest.mark.slow
 def test_load_r3m_from_native_snapshot(tmp_path):
     """Embedding inference from our own training snapshots (.npz)."""
     import jax
@@ -206,6 +208,7 @@ def test_load_r3m_from_native_snapshot(tmp_path):
     assert emb.shape == (1, 512)
 
 
+@pytest.mark.slow
 def test_vit_train_state_snapshot_roundtrip(tmp_path):
     """Empty batch_stats ({} for ViT) must survive save/load (regression:
     _flatten silently dropped empty containers)."""
@@ -380,6 +383,7 @@ def test_fetch_rejects_html_interstitial(tmp_path):
         _validate_payload(str(cfg_bad), str(tmp_path / "config.yaml"))
 
 
+@pytest.mark.slow
 def test_convert_cli_roundtrip(tmp_path):
     """to-torch -> to-native round-trips weights bit-close through the CLI."""
     from r3m_tpu.checkpoint import load_snapshot, save_train_snapshot

@@ -77,6 +77,7 @@ def test_frame_batcher_shapes(dataset_root):
     assert len(captions) == 4
 
 
+@pytest.mark.slow
 def test_pipeline_and_train_slice(dataset_root):
     """Minimum end-to-end training slice: synthetic data -> loss decreases."""
     from r3m_tpu.text.tokenizer import WordPieceTokenizer

@@ -10,6 +10,8 @@ import torch
 
 import jax.numpy as jnp
 
+import pytest
+
 from r3m_tpu.models.distilbert import (
     DistilBertConfig,
     convert_distilbert,
@@ -39,6 +41,7 @@ def _hf_model(cfg):
     return DistilBertModel(hf_cfg).eval()
 
 
+@pytest.mark.slow
 def test_last_hidden_state_parity(rng):
     tm = _hf_model(SMALL)
     params = convert_distilbert(tm.state_dict(), SMALL)

@@ -14,6 +14,7 @@ from r3m_tpu.models.r3m import R3MConfig
 from r3m_tpu.training.trainer import create_train_state
 
 
+@pytest.mark.slow
 def test_embed_cli_writes_embeddings_npz(tmp_path):
     root = write_synthetic_dataset(
         str(tmp_path / "d"), n_videos=2, min_len=4, max_len=5, size=48

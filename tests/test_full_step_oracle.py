@@ -22,6 +22,10 @@ from r3m_tpu.losses import r3m_loss
 from r3m_tpu.models.r3m import R3MConfig, r3m_embed
 from tests.torch_ref import torch_resnet
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration tier; smoke runs use -m 'not slow'
+
 EPS = 1e-8
 B = 2
 IMG = 64

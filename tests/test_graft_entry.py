@@ -1,8 +1,10 @@
 """Driver deliverables stay healthy: entry() traces, dryrun_multichip runs."""
 
 import jax
+import pytest
 
 
+@pytest.mark.slow
 def test_entry_traces():
     from __graft_entry__ import entry
 
@@ -11,6 +13,7 @@ def test_entry_traces():
     assert out.shape == (4, 2048)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
 

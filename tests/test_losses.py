@@ -158,6 +158,7 @@ def test_lp_norms_match_torch(rng, toy):
     np.testing.assert_allclose(ours, refs, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_loss_composition_and_jit(rng, toy):
     emb, lang = toy
     _, params = _mlp_params_and_oracle(rng)

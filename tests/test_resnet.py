@@ -99,6 +99,7 @@ def test_converter_handles_module_prefix():
     assert state["bn1"]["mean"].shape == (64,)
 
 
+@pytest.mark.slow
 def test_init_shapes_and_grad():
     params, state = resnet_init(jax.random.PRNGKey(0), 18)
 

@@ -14,6 +14,8 @@ from r3m_tpu.models.r3m import R3MConfig
 from r3m_tpu.reward import R3MRewardModel
 from r3m_tpu.training.trainer import create_train_state
 
+pytestmark = pytest.mark.slow  # module-scoped model fixture dominates; smoke skips
+
 VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "pick", "up", "cup", "door", "open"]
 
 

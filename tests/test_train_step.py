@@ -46,6 +46,7 @@ def bert_params():
     return distilbert_init(jax.random.PRNGKey(7), BERT_SMALL)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(bert_params):
     rng = np.random.default_rng(0)
     state = create_train_state(CFG, jax.random.PRNGKey(0))
@@ -79,6 +80,7 @@ def test_eval_step_no_mutation(bert_params):
         np.testing.assert_array_equal(np.asarray(a), b)
 
 
+@pytest.mark.slow
 def test_multichip_dp_mesh(bert_params):
     """Full train step sharded over an 8-device CPU mesh."""
     assert len(jax.devices()) == 8, "conftest must force 8 host devices"
@@ -107,6 +109,7 @@ def test_multichip_dp_mesh(bert_params):
     )
 
 
+@pytest.mark.slow
 def test_multislice_dcn_mesh(bert_params):
     """2-D (dcn, dp) multi-slice mesh: same global-batch loss as 1-chip."""
     mesh = make_mesh(8, n_slices=2)
@@ -129,6 +132,7 @@ def test_multislice_dcn_mesh(bert_params):
     )
 
 
+@pytest.mark.slow
 def test_bert_params_numpy_leaves(bert_params):
     """Snapshot loaders hand back numpy pytrees — the step must accept them
     (regression: numpy[tracer] embedding lookup failed at trace time)."""
@@ -139,6 +143,7 @@ def test_bert_params_numpy_leaves(bert_params):
     assert np.isfinite(float(metrics["full_loss"]))
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_manual_microbatch_average(bert_params):
     """grad_accum=2 must equal the hand-computed two-microbatch procedure:
     same per-microbatch keys/BN-stat threading, averaged gradients, one
@@ -216,6 +221,7 @@ def test_grad_accum_rejects_indivisible_batch(bert_params):
         step(state, _fake_batch(np.random.default_rng(0), bs=8))
 
 
+@pytest.mark.slow
 def test_grad_accum_on_mesh_matches_single_device(bert_params):
     """grad_accum=2 under the 8-device dp mesh: the [B]->[A, B/A] reshape
     must stay a valid GSPMD program with single-device-identical results."""
@@ -274,6 +280,7 @@ def test_multichip_hlo_collective_structure(bert_params):
             )
 
 
+@pytest.mark.slow
 def test_lr_schedule_string(bert_params):
     """cfg.lr as a schedule string drives per-step Adam learning rates."""
     import dataclasses
@@ -306,6 +313,7 @@ def test_lr_schedule_string(bert_params):
     assert max(jax.tree_util.tree_leaves(moved2)) == 0.0
 
 
+@pytest.mark.slow
 def test_multichip_flops_scale_down_per_device(bert_params):
     """Weak-scaling evidence: the SPMD-partitioned step's per-device FLOPs
     are ~1/8 of the single-device program at the same GLOBAL batch — the
@@ -330,6 +338,7 @@ def test_multichip_flops_scale_down_per_device(bert_params):
     assert ratio < 0.35, f"per-device flops ratio {ratio:.3f}"
 
 
+@pytest.mark.slow
 def test_lars_optimizer_option():
     """optimizer='lars' trains (large-batch scale-out path); typos raise."""
     import dataclasses
@@ -361,6 +370,7 @@ def test_make_mesh_rejects_oversubscription():
         make_mesh(len(jax.devices()) + 1)
 
 
+@pytest.mark.slow
 def test_no_per_step_transfers_on_mesh(bert_params):
     """Steady-state sharded steps must not re-place ANY argument — a
     mis-sharded closure/arg (e.g. single-device BERT weights vs the

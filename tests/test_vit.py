@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from r3m_tpu.models.vit import ViTConfig, convert_vit, vit_b32_apply
+import pytest
 
 SMALL = ViTConfig(
     image_size=32, patch_size=16, dim=32, n_layers=2, n_heads=4, hidden_dim=64
@@ -53,6 +54,7 @@ def test_pooler_output_parity(rng):
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_r3m_embed_vit_shape():
     """R3MConfig(size=0) end-to-end: [B,224,224,3] in [0,255] -> [B, 768]."""
     from r3m_tpu.models.r3m import R3MConfig, r3m_embed, r3m_init
@@ -66,6 +68,7 @@ def test_r3m_embed_vit_shape():
     assert stats == {}  # no BN state in ViT
 
 
+@pytest.mark.slow
 def test_vit_train_step_runs():
     """One jitted TCN train step with the ViT backbone (tiny batch)."""
     from r3m_tpu.models.r3m import R3MConfig
@@ -82,6 +85,7 @@ def test_vit_train_step_runs():
     assert np.isfinite(float(metrics["full_loss"]))
 
 
+@pytest.mark.slow
 def test_vit_honors_image_size_knob():
     """size=0 with a non-224 image_size must build a matching pos table."""
     import pytest

@@ -8,6 +8,8 @@ import pytest
 from r3m_tpu.data.ego4d import write_synthetic_dataset
 from r3m_tpu.utils.config import load_config
 
+pytestmark = pytest.mark.slow  # heavy integration tier; smoke runs use -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def dataset_root(tmp_path_factory):
