@@ -278,18 +278,16 @@ def load_train_snapshot(path: str, state):
 # ---------------------------------------------------------------------------
 
 
-def load_torch_checkpoint(path: str, include_language: bool = False) -> Dict:
-    """Load a reference ``model.pt``/``snapshot.pt`` into JAX pytrees.
+def load_torch_payload(path: str):
+    """Guarded ``torch.load`` of a reference artifact (model.pt/snapshot.pt).
 
-    Returns `convert.convert_r3m_torch_state` bundle + "global_step" if the
-    payload carries one (train_representation.py:129).
+    Returns the raw pickled payload. Shared by the converter and the
+    verify_parity CLI so both tolerate the same artifact generations.
     """
     import torch
 
-    from r3m_tpu.convert import convert_r3m_torch_state
-
     try:
-        payload = torch.load(path, map_location="cpu", weights_only=True)
+        return torch.load(path, map_location="cpu", weights_only=True)
     except Exception as e:
         # Retry the unsafe path ONLY for weights_only rejections (payloads
         # with non-tensor globals, e.g. OmegaConf nodes in old snapshots);
@@ -299,8 +297,28 @@ def load_torch_checkpoint(path: str, include_language: bool = False) -> Dict:
         msg = str(e)
         if "weights_only" not in msg and "Weights only" not in msg:
             raise
-        payload = torch.load(path, map_location="cpu", weights_only=False)
-    sd = payload["r3m"] if isinstance(payload, dict) and "r3m" in payload else payload
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def torch_payload_state_dict(payload) -> Dict:
+    """Extract the model state dict from a reference payload
+    (``{"r3m": sd, "global_step": ...}`` for snapshots, bare sd for
+    model.pt — train_representation.py:123-138)."""
+    if isinstance(payload, dict) and "r3m" in payload:
+        return payload["r3m"]
+    return payload
+
+
+def load_torch_checkpoint(path: str, include_language: bool = False) -> Dict:
+    """Load a reference ``model.pt``/``snapshot.pt`` into JAX pytrees.
+
+    Returns `convert.convert_r3m_torch_state` bundle + "global_step" if the
+    payload carries one (train_representation.py:129).
+    """
+    from r3m_tpu.convert import convert_r3m_torch_state
+
+    payload = load_torch_payload(path)
+    sd = torch_payload_state_dict(payload)
     bundle = convert_r3m_torch_state(sd, include_language=include_language)
     if isinstance(payload, dict) and "global_step" in payload:
         bundle["global_step"] = int(payload["global_step"])

@@ -112,6 +112,8 @@ def resized_crop(
     `compute_dtype` — the encoder-input form, skipping a separate
     normalize pass over the full frame (models_r3m.py:58-61).
     """
+    if (mean is None) != (std is None):
+        raise ValueError("mean and std must be given together (got only one)")
     img = img.astype(compute_dtype)
     hi, wi = img.shape[0], img.shape[1]
     o = jnp.arange(out_size, dtype=jnp.float32) + 0.5
@@ -165,6 +167,11 @@ def random_resized_crop_clips(
     normalized encoder-input form ((x/255 - mean)/std) with the rescale
     folded into the crop weights — see `resized_crop`.
     """
+    if (mean is None) != (std is None):
+        raise ValueError(
+            "mean and std must be given together (got only one); the "
+            "normalized-output form needs both"
+        )
     b, f, hgt, wid, c = clips.shape
     if mode not in ("rc", "rctraj"):
         assert hgt == out_size and wid == out_size, "mode=none needs pre-sized frames"

@@ -119,7 +119,10 @@ def torch_resnet(size: int, prefer_torchvision: bool = True) -> nn.Module:
         try:
             from torchvision import models as tvm
 
-            m = {18: tvm.resnet18, 34: tvm.resnet34, 50: tvm.resnet50}[size]()
+            builder = {18: tvm.resnet18, 34: tvm.resnet34, 50: tvm.resnet50}.get(size)
+            if builder is None:
+                raise ValueError(size)
+            m = builder()
             m.fc = nn.Identity()
             return m
         except ImportError:

@@ -34,6 +34,9 @@ COSINE_BAR = 0.999  # BASELINE.json north-star parity bar
 def _torch_forward(modelpath: str, images: np.ndarray) -> Optional[np.ndarray]:
     """Reference-style forward: torch model + /255 + ImageNet normalize.
 
+    Loads the artifact a second time on purpose — the other load goes
+    through `load_r3m_from_files`, the exact production serving path this
+    CLI exists to validate, and must stay independent of this one.
     Returns None when torch is unavailable (conversion-only mode).
     """
     try:
@@ -42,10 +45,10 @@ def _torch_forward(modelpath: str, images: np.ndarray) -> Optional[np.ndarray]:
         from r3m_tpu.torch_oracle import torch_resnet
     except ImportError:
         return None
+    from r3m_tpu.checkpoint import load_torch_payload, torch_payload_state_dict
     from r3m_tpu.convert import detect_resnet_size, remove_language_head, strip_prefix
 
-    payload = torch.load(modelpath, map_location="cpu")
-    sd = payload["r3m"] if isinstance(payload, dict) and "r3m" in payload else payload
+    sd = torch_payload_state_dict(load_torch_payload(modelpath))
     sd = remove_language_head(strip_prefix(sd))
     sd = {k[len("convnet."):]: v for k, v in sd.items() if k.startswith("convnet.")}
     size = detect_resnet_size(sd)

@@ -153,3 +153,15 @@ def test_fused_normalize_mode_none(rng):
         key, clips, out_size=32, mode="none", mean=IMAGENET_MEAN, std=IMAGENET_STD
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_mean_without_std_rejected():
+    import pytest
+
+    from r3m_tpu.data.augment import random_resized_crop_clips
+
+    clips = jnp.zeros((1, 2, 16, 16, 3))
+    with pytest.raises(ValueError, match="together"):
+        random_resized_crop_clips(
+            jax.random.PRNGKey(0), clips, out_size=8, mean=(0.5, 0.5, 0.5)
+        )
