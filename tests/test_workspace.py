@@ -400,3 +400,28 @@ def test_graceful_stop_writes_final_snapshot(dataset_root, tmp_path):
     assert 3 <= ws.global_step < 50  # stopped early, after a full step
     _, meta = load_snapshot(str(tmp_path / "snapshot.npz"))
     assert meta["global_step"] == ws.global_step
+
+
+def test_non_lead_process_writes_nothing(dataset_root, tmp_path, monkeypatch):
+    """Multi-host discipline: only process 0 touches shared storage. A
+    non-lead workspace (jax.process_index() != 0) must train without
+    writing CSVs, snapshots, or metric prints to the run dir — otherwise
+    N hosts interleave writes to the same files on shared filesystems
+    (workspace.py is_lead branches)."""
+    import jax
+
+    from r3m_tpu.training.workspace import Workspace
+
+    monkeypatch.setattr(jax, "process_index", lambda backend=None: 1)
+    work = tmp_path / "follower"
+    work.mkdir()
+    cfg = _base_cfg(dataset_root, tmp_path)
+    ws = Workspace(cfg, work_dir=str(work))
+    try:
+        assert ws.is_lead is False
+        ws.train()
+        assert ws.global_step == 3  # the step itself still runs
+    finally:
+        ws.close()
+    leftovers = [p for p in os.listdir(work)]
+    assert leftovers == [], f"non-lead process wrote: {leftovers}"
