@@ -147,9 +147,30 @@ def convert_r3m_torch_state(
         "convnet": {"params": params, "batch_stats": state},
         "size": size,
         "lang_rew": None,
+        "lang_enc": None,
     }
     if include_language and "lang_rew.pred.0.weight" in sd:
         bundle["lang_rew"] = convert_language_reward(sd)
+    if include_language:
+        # language-trained reference snapshots embed the (frozen) DistilBERT
+        # itself: R3M registers LangEncoder as a submodule, so
+        # model.state_dict() carries `lang_enc.model.*` (the full HF
+        # DistilBertModel — models_r3m.py:70, train_representation.py:127)
+        enc_prefix = "lang_enc.model."
+        enc_sd = {
+            k[len(enc_prefix):]: v for k, v in sd.items() if k.startswith(enc_prefix)
+        }
+        if enc_sd:
+            from r3m_tpu.models.distilbert import (
+                convert_distilbert,
+                distilbert_config_from_state,
+            )
+
+            cfg = distilbert_config_from_state(enc_sd)
+            bundle["lang_enc"] = {
+                "params": convert_distilbert(enc_sd, cfg),
+                "cfg": cfg,
+            }
     return bundle
 
 

@@ -161,6 +161,34 @@ def sentence_embedding(
 # ---------------------------------------------------------------------------
 
 
+def distilbert_config_from_state(sd, n_heads: int = 12) -> DistilBertConfig:
+    """Infer the architecture of an HF DistilBertModel state dict.
+
+    Every dimension except `n_heads` is determined by tensor shapes;
+    `n_heads` is not shape-recoverable (default: distilbert-base's 12,
+    the only architecture the reference ever loads,
+    models_language.py:18-21).
+    """
+    import re
+
+    vocab, dim = sd["embeddings.word_embeddings.weight"].shape
+    max_pos = sd["embeddings.position_embeddings.weight"].shape[0]
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"transformer\.layer\.(\d+)\.", k))
+    )
+    hidden = sd["transformer.layer.0.ffn.lin1.weight"].shape[0]
+    return DistilBertConfig(
+        vocab_size=int(vocab),
+        dim=int(dim),
+        n_layers=int(n_layers),
+        n_heads=n_heads,
+        hidden_dim=int(hidden),
+        max_position_embeddings=int(max_pos),
+    )
+
+
 def convert_distilbert(sd, cfg: DistilBertConfig = BASE) -> Pytree:
     """HF DistilBertModel state dict -> pytree (torch [out,in] -> [in,out])."""
 

@@ -51,6 +51,7 @@ class R3MRewardModel:
         tokenizer: WordPieceTokenizer,
         lang_max_len: int = 32,
         pad_mode: str = "fixed",
+        bert_cfg=None,
     ):
         if "lang_rew" not in params:
             raise ValueError(
@@ -75,9 +76,13 @@ class R3MRewardModel:
             cfg, {"convnet": self.params["convnet"]}, self.batch_stats
         )
 
+        from r3m_tpu.models.distilbert import BASE
+
+        bert_cfg = bert_cfg or BASE
+
         @jax.jit
         def _lang(bert_params, ids, mask):
-            return sentence_embedding(bert_params, ids, mask)
+            return sentence_embedding(bert_params, ids, mask, bert_cfg)
 
         @jax.jit
         def _reward_from_lang(params, e0, es, lang_emb):
@@ -124,17 +129,22 @@ class R3MRewardModel:
     def from_torch_snapshot(
         cls,
         snapshot_path: str,
-        bert_weights: str,
+        bert_weights: Optional[str],
         vocab_path: str,
         pad_mode: str = "longest",
     ) -> "R3MRewardModel":
         """Build from a REFERENCE torch training snapshot (snapshot.pt).
 
         Imports convnet + BN stats + the `lang_rew` MLP via the torch
-        converter. Defaults to `pad_mode="longest"` because the reference
-        tokenizes with ``padding=True`` (models_language.py:30) and its
-        mean-pool includes padding — fixed-length padding would score
-        reference-trained heads on out-of-distribution sentence embeddings.
+        converter. `bert_weights=None` uses the DistilBERT EMBEDDED in the
+        snapshot itself (`module.lang_enc.model.*` — the reference
+        registers the frozen encoder as a submodule, models_r3m.py:70, so
+        language-trained snapshots are self-contained apart from the
+        tokenizer vocab); pass an .npz path to override. Defaults to
+        `pad_mode="longest"` because the reference tokenizes with
+        ``padding=True`` (models_language.py:30) and its mean-pool includes
+        padding — fixed-length padding would score reference-trained heads
+        on out-of-distribution sentence embeddings.
         """
         from r3m_tpu.checkpoint import load_torch_checkpoint
         from r3m_tpu.training.workspace import load_bert_params
@@ -143,6 +153,17 @@ class R3MRewardModel:
         if bundle.get("lang_rew") is None:
             raise ValueError(
                 f"{snapshot_path} carries no language-reward head"
+            )
+        bert_cfg = None
+        if bert_weights is not None:
+            bert_params = load_bert_params(bert_weights)
+        elif bundle.get("lang_enc") is not None:
+            bert_params = bundle["lang_enc"]["params"]
+            bert_cfg = bundle["lang_enc"]["cfg"]
+        else:
+            raise ValueError(
+                f"{snapshot_path} embeds no lang_enc DistilBERT; pass "
+                "bert_weights=<distilbert.npz> (see r3m-prepare-language)"
             )
         cfg = R3MConfig(
             size=bundle["size"], langweight=1.0, compute_dtype="float32"
@@ -154,9 +175,10 @@ class R3MRewardModel:
                 "lang_rew": bundle["lang_rew"],
             },
             batch_stats=bundle["convnet"]["batch_stats"],
-            bert_params=load_bert_params(bert_weights),
+            bert_params=bert_params,
             tokenizer=WordPieceTokenizer(vocab_file=vocab_path),
             pad_mode=pad_mode,
+            bert_cfg=bert_cfg,
         )
 
     # -- reference-parity surface ------------------------------------------

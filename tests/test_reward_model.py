@@ -128,3 +128,65 @@ def test_reward_from_torch_snapshot(artifacts, tmp_path):
         ["pick up the cup", "open the door"],
     )
     assert r.shape == (2,) and np.all(np.isfinite(np.asarray(r)))
+
+
+def test_reward_from_torch_snapshot_embedded_bert(artifacts, tmp_path):
+    """Language-trained reference snapshots are self-contained: R3M registers
+    the frozen LangEncoder as a submodule (models_r3m.py:70), so
+    state_dict() carries the whole HF DistilBertModel under
+    `module.lang_enc.model.*`. from_torch_snapshot(bert_weights=None) must
+    serve from those embedded weights, and the converted encoder must match
+    the GENUINE transformers DistilBertModel forward bit-for-tolerance."""
+    import torch
+    from transformers import DistilBertConfig as HFConfig, DistilBertModel
+
+    from r3m_tpu.checkpoint import export_torch_snapshot
+
+    _, _, vocab = artifacts
+    cfg = R3MConfig(size=18, langweight=1.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(5))
+    pt = str(tmp_path / "snapshot.pt")
+    export_torch_snapshot(pt, state, size=18)
+
+    # dim must be LANG_DIM=768 (the reward head's lang input width); one
+    # layer + small vocab/ffn keep the fixture light
+    hf = DistilBertModel(
+        HFConfig(
+            vocab_size=30, dim=768, n_layers=1, n_heads=12, hidden_dim=48,
+            max_position_embeddings=32,
+        )
+    ).eval()
+    payload = torch.load(pt, map_location="cpu", weights_only=True)
+    sd = dict(payload["r3m"])
+    for k, v in hf.state_dict().items():
+        sd[f"module.lang_enc.model.{k}"] = v
+    torch.save({"r3m": sd, "global_step": 0}, pt)
+
+    rm = R3MRewardModel.from_torch_snapshot(pt, None, vocab)
+
+    ids = torch.tensor([[2, 5, 6, 4, 7, 3, 0, 0], [2, 9, 4, 8, 3, 0, 0, 0]])
+    mask = torch.tensor([[1] * 6 + [0] * 2, [1] * 5 + [0] * 3])
+    with torch.no_grad():
+        ref = hf(ids, attention_mask=mask).last_hidden_state.mean(1).numpy()
+    ours = np.asarray(
+        rm._lang(rm.bert_params, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()))
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    r = rm.get_reward(
+        jnp.zeros((2, 512)), jnp.ones((2, 512)),
+        ["pick up the cup", "open the door"],
+    )
+    assert r.shape == (2,) and np.all(np.isfinite(np.asarray(r)))
+
+
+def test_from_torch_snapshot_without_embedded_bert_needs_weights(artifacts, tmp_path):
+    from r3m_tpu.checkpoint import export_torch_snapshot
+
+    _, _, vocab = artifacts
+    cfg = R3MConfig(size=18, langweight=1.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(6))
+    pt = str(tmp_path / "snapshot.pt")
+    export_torch_snapshot(pt, state, size=18)
+    with pytest.raises(ValueError, match="lang_enc"):
+        R3MRewardModel.from_torch_snapshot(pt, None, vocab)
