@@ -86,7 +86,7 @@ def cleanup_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
     return agent
 
 
-def _load_from_artifacts(modelpath: str, configpath: str) -> R3MEncoder:
+def _load_from_artifacts(modelpath: str, configpath: str, mesh=None) -> R3MEncoder:
     import dataclasses
 
     import yaml
@@ -125,10 +125,11 @@ def _load_from_artifacts(modelpath: str, configpath: str) -> R3MEncoder:
         cfg,
         params={"convnet": bundle["convnet"]["params"]},
         batch_stats=bundle["convnet"]["batch_stats"],
+        mesh=mesh,
     )
 
 
-def load_r3m(modelid: str) -> R3MEncoder:
+def load_r3m(modelid: str, mesh=None) -> R3MEncoder:
     """Load a pretrained R3M visual encoder ("resnet50"/"resnet34"/"resnet18").
 
     Same registry + ``~/.r3m`` cache layout as the reference
@@ -139,25 +140,25 @@ def load_r3m(modelid: str) -> R3MEncoder:
     from r3m_tpu.fetch import ensure_artifacts
 
     modelpath, configpath = ensure_artifacts(modelid, reproduce=False)
-    return _load_from_artifacts(modelpath, configpath)
+    return _load_from_artifacts(modelpath, configpath, mesh=mesh)
 
 
-def load_r3m_reproduce(modelid: str) -> R3MEncoder:
+def load_r3m_reproduce(modelid: str, mesh=None) -> R3MEncoder:
     """Load paper-reproduction checkpoints ("r3m"/"r3m_noaug"/"r3m_nol1"/
     "r3m_nolang") — r3m/__init__.py:77-113 (with its `modelif` typo fixed,
     making r3m_nol1 / r3m_nolang actually loadable)."""
     from r3m_tpu.fetch import ensure_artifacts
 
     modelpath, configpath = ensure_artifacts(modelid, reproduce=True)
-    return _load_from_artifacts(modelpath, configpath)
+    return _load_from_artifacts(modelpath, configpath, mesh=mesh)
 
 
-def load_r3m_from_files(modelpath: str, configpath: str = None) -> R3MEncoder:
+def load_r3m_from_files(modelpath: str, configpath: str = None, mesh=None) -> R3MEncoder:
     """Load from explicit artifact paths (offline hosts, local snapshots)."""
     if modelpath.endswith(".npz"):
-        return load_r3m_from_snapshot(modelpath)
+        return load_r3m_from_snapshot(modelpath, mesh=mesh)
     if configpath is not None:
-        return _load_from_artifacts(modelpath, configpath)
+        return _load_from_artifacts(modelpath, configpath, mesh=mesh)
     from r3m_tpu.checkpoint import load_torch_checkpoint
 
     bundle = load_torch_checkpoint(modelpath, include_language=False)
@@ -166,10 +167,11 @@ def load_r3m_from_files(modelpath: str, configpath: str = None) -> R3MEncoder:
         cfg,
         params={"convnet": bundle["convnet"]["params"]},
         batch_stats=bundle["convnet"]["batch_stats"],
+        mesh=mesh,
     )
 
 
-def load_r3m_from_snapshot(path: str) -> R3MEncoder:
+def load_r3m_from_snapshot(path: str, mesh=None) -> R3MEncoder:
     """Embedding inference from a NATIVE training snapshot (.npz).
 
     The architecture comes from the snapshot's config metadata; the
@@ -185,4 +187,5 @@ def load_r3m_from_snapshot(path: str) -> R3MEncoder:
         cfg,
         params={"convnet": tree["params"]["convnet"]},
         batch_stats=tree.get("batch_stats", {}),
+        mesh=mesh,
     )

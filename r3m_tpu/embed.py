@@ -70,17 +70,24 @@ def _load_images(paths: Sequence[str], size: int) -> np.ndarray:
 
 
 def load_encoder(args):
+    mesh = None
+    if getattr(args, "n_devices", 0):
+        # data-parallel serving mesh: weights replicate, batches shard on
+        # axis 0 (multi-chip throughput for large embedding jobs)
+        from r3m_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.n_devices)
     if args.snapshot:
         from r3m_tpu import load_r3m_from_snapshot
 
-        return load_r3m_from_snapshot(args.snapshot)
+        return load_r3m_from_snapshot(args.snapshot, mesh=mesh)
     if args.model_file:
         from r3m_tpu import load_r3m_from_files
 
-        return load_r3m_from_files(args.model_file, args.config_file or None)
+        return load_r3m_from_files(args.model_file, args.config_file or None, mesh=mesh)
     from r3m_tpu import load_r3m
 
-    return load_r3m(args.model)
+    return load_r3m(args.model, mesh=mesh)
 
 
 def main(argv=None) -> str:
@@ -97,11 +104,17 @@ def main(argv=None) -> str:
     p.add_argument("--config-file", default="",
                    help="config.yaml next to --model-file (optional)")
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--n-devices", type=int, default=0,
+                   help="shard each batch over an N-device data-parallel "
+                   "mesh (0 = single device)")
     args = p.parse_args(argv)
 
     files = collect_image_files(args.inputs)
     enc = load_encoder(args)
     size = enc.cfg.image_size
+    if args.n_devices:
+        # every (padded) batch must split evenly across the mesh
+        args.batch = -(-max(1, args.batch) // args.n_devices) * args.n_devices
 
     from r3m_tpu.utils.misc import pad_batch
 

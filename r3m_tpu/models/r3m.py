@@ -217,14 +217,29 @@ class R3MEncoder:
     input NCHW (torch layout) float/uint8 in [0, 255], any spatial size
     (non-224 inputs get Resize(256)+CenterCrop(224)); output [B, out_dim]
     embeddings. Forward is jitted per input shape.
+
+    `mesh`: optional `jax.sharding.Mesh` for multi-chip batch serving —
+    weights replicate, the input batch shards on axis 0, and GSPMD runs
+    the forward data-parallel (the serving analogue of the reference's
+    DataParallel wrap, r3m/__init__.py:72). Batch size must divide by the
+    mesh size.
     """
 
-    def __init__(self, cfg: R3MConfig, params: Pytree, batch_stats: Pytree):
+    def __init__(
+        self, cfg: R3MConfig, params: Pytree, batch_stats: Pytree, mesh=None
+    ):
         self.cfg = cfg
-        # snapshot loaders hand back numpy pytrees; passing numpy leaves as
-        # jit args would re-upload all weights to the device on every call
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
-        self.batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+        self.mesh = mesh
+        if mesh is not None:
+            from r3m_tpu.parallel.mesh import replicate
+
+            self.params = replicate(mesh, params)
+            self.batch_stats = replicate(mesh, batch_stats)
+        else:
+            # snapshot loaders hand back numpy pytrees; passing numpy leaves
+            # as jit args would re-upload all weights on every call
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)
+            self.batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
         self.module = self  # DataParallel-compat alias (ref accesses .module)
 
         if cfg.size != 0:
@@ -313,6 +328,16 @@ class R3MEncoder:
             raise ValueError(
                 f"expected NCHW [B, 3, H, W] images, got {tuple(obs.shape)}{hint}"
             )
+        if self.mesh is not None:
+            from r3m_tpu.parallel.mesh import batch_sharded
+
+            n = self.mesh.devices.size
+            if obs.shape[0] % n:
+                raise ValueError(
+                    f"batch {obs.shape[0]} not divisible by the {n}-device "
+                    "serving mesh (pad the batch or drop mesh=)"
+                )
+            obs = jax.device_put(obs, batch_sharded(self.mesh))
         return self._fwd(self.params, self.batch_stats, obs)
 
     def eval(self):  # torch-API compat no-ops

@@ -67,3 +67,50 @@ def test_cli_returns_zero(tmp_path, monkeypatch):
 
     monkeypatch.setattr(embed_mod, "main", lambda argv=None: "/some/path.npz")
     assert embed_mod.cli([]) == 0
+
+
+@pytest.mark.slow
+def test_mesh_serving_matches_single_device(tmp_path):
+    """mesh= on the encoder (and --n-devices on the CLI) runs the forward
+    data-parallel over the 8-device mesh with identical results to
+    single-device serving — the serving analogue of DataParallel
+    (r3m/__init__.py:72)."""
+    from r3m_tpu import load_r3m_from_snapshot
+    from r3m_tpu.parallel.mesh import make_mesh
+
+    cfg = R3MConfig(size=18, langweight=0.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(1))
+    snap = save_train_snapshot(str(tmp_path), state, cfg, keep_step_copy=False)
+
+    mesh = make_mesh(8)
+    enc_mesh = load_r3m_from_snapshot(snap, mesh=mesh)
+    enc_one = load_r3m_from_snapshot(snap)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(8, 3, 32, 32)).astype(np.float32)
+    e_mesh = enc_mesh(imgs)
+    np.testing.assert_allclose(
+        np.asarray(e_mesh), np.asarray(enc_one(imgs)), rtol=1e-5, atol=1e-5
+    )
+    assert len(e_mesh.sharding.device_set) == 8  # actually ran data-parallel
+    with pytest.raises(ValueError, match="divisible"):
+        enc_mesh(imgs[:3])
+
+
+@pytest.mark.slow
+def test_embed_cli_n_devices(tmp_path):
+    root = write_synthetic_dataset(
+        str(tmp_path / "d"), n_videos=2, min_len=4, max_len=5, size=48
+    )
+    cfg = R3MConfig(size=18, langweight=0.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    snap = save_train_snapshot(str(tmp_path), state, cfg, keep_step_copy=False)
+
+    out = main([
+        root, "--snapshot", snap, "--out", str(tmp_path / "m.npz"),
+        "--batch", "5", "--n-devices", "8",  # 5 rounds up to 8
+    ])
+    ref = main([
+        root, "--snapshot", snap, "--out", str(tmp_path / "s.npz"), "--batch", "4",
+    ])
+    zm, zs = np.load(out), np.load(ref)
+    np.testing.assert_allclose(zm["embeddings"], zs["embeddings"], rtol=1e-5, atol=1e-5)
