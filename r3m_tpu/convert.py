@@ -149,7 +149,12 @@ def convert_r3m_torch_state(
         "lang_rew": None,
         "lang_enc": None,
     }
-    if include_language and "lang_rew.pred.0.weight" in sd:
+    if include_language and all(
+        f"lang_rew.pred.{i}.{p}" in sd for i in (0, 2, 4, 6, 8) for p in ("weight", "bias")
+    ):
+        # require the complete 5-layer head: stray/truncated lang_rew keys
+        # (e.g. an artifact partially stripped by remove_language_head) are
+        # treated as "no language head", not a conversion error
         bundle["lang_rew"] = convert_language_reward(sd)
     if include_language:
         # language-trained reference snapshots embed the (frozen) DistilBERT

@@ -71,6 +71,87 @@ def _torch_forward(modelpath: str, images: np.ndarray) -> Optional[np.ndarray]:
         return model((x - mean) / std).numpy()
 
 
+def _language_parity(modelpath: str, seed: int = 0, n: int = 4) -> Optional[Dict]:
+    """Language-path parity: embedded DistilBERT + reward head, ours vs torch.
+
+    Training/reproduce artifacts carry the full language stack
+    (``module.lang_enc.model.*`` + ``module.lang_rew.pred.*`` —
+    models_r3m.py:70-71); score the same (e0, es, token) triples through
+    this package's converted chain and through a genuine torch forward
+    (transformers DistilBertModel + the reference's 5-layer MLP). Returns
+    None when the artifact has no language head or torch/transformers are
+    unavailable.
+    """
+    try:
+        import torch
+        from transformers import DistilBertConfig as HFConfig, DistilBertModel
+
+        from r3m_tpu.torch_oracle import TorchLanguageReward
+    except ImportError:
+        return None
+    from r3m_tpu.checkpoint import load_torch_checkpoint
+    from r3m_tpu.models.distilbert import sentence_embedding
+    from r3m_tpu.models.language_reward import language_reward_apply
+
+    bundle = load_torch_checkpoint(modelpath, include_language=True)
+    if bundle.get("lang_rew") is None or bundle.get("lang_enc") is None:
+        return None
+    import jax.numpy as jnp
+
+    cfg = bundle["lang_enc"]["cfg"]
+    rng = np.random.default_rng(seed)
+    t = 12
+    ids = rng.integers(0, cfg.vocab_size, size=(n, t)).astype(np.int64)
+    lens = rng.integers(3, t + 1, size=(n,))
+    mask = (np.arange(t)[None, :] < lens[:, None]).astype(np.int64)
+    out_dim = int(bundle["lang_rew"]["layers"][0]["w"].shape[0] - cfg.dim) // 2
+    e0 = rng.standard_normal((n, out_dim)).astype(np.float32)
+    es = rng.standard_normal((n, out_dim)).astype(np.float32)
+
+    le = sentence_embedding(
+        bundle["lang_enc"]["params"], jnp.asarray(ids), jnp.asarray(mask), cfg
+    )
+    ours = np.asarray(
+        language_reward_apply(
+            bundle["lang_rew"], jnp.asarray(e0), jnp.asarray(es), le
+        ),
+        dtype=np.float64,
+    )
+
+    from r3m_tpu.checkpoint import load_torch_payload, torch_payload_state_dict
+    from r3m_tpu.convert import strip_prefix
+
+    sd = strip_prefix(torch_payload_state_dict(load_torch_payload(modelpath)))
+    enc_prefix, rew_prefix = "lang_enc.model.", "lang_rew."
+    hf = DistilBertModel(
+        HFConfig(
+            vocab_size=cfg.vocab_size, dim=cfg.dim, n_layers=cfg.n_layers,
+            n_heads=cfg.n_heads, hidden_dim=cfg.hidden_dim,
+            max_position_embeddings=cfg.max_position_embeddings,
+        )
+    ).eval()
+    hf.load_state_dict(
+        {k[len(enc_prefix):]: v for k, v in sd.items() if k.startswith(enc_prefix)}
+    )
+    hidden = sd["lang_rew.pred.0.weight"].shape[0]
+    head = TorchLanguageReward(out_dim, hidden, cfg.dim).eval()
+    head.load_state_dict(
+        {k[len(rew_prefix):]: v for k, v in sd.items() if k.startswith(rew_prefix)}
+    )
+    with torch.no_grad():
+        t_le = hf(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.mean(1)
+        ref = head(
+            torch.from_numpy(e0), torch.from_numpy(es), t_le
+        ).numpy().astype(np.float64)
+
+    return {
+        "lang_max_abs_diff": float(np.max(np.abs(ours - ref))),
+        "lang_ok": bool(np.max(np.abs(ours - ref)) < 1e-3 * max(1.0, float(np.max(np.abs(ref))))),
+    }
+
+
 def verify_parity(
     modelpath: str,
     configpath: Optional[str] = None,
@@ -140,6 +221,10 @@ def verify_parity(
             "ok": bool(np.min(cos) >= COSINE_BAR),
         }
     )
+    lang = _language_parity(modelpath, seed=seed)
+    if lang is not None:
+        result.update(lang)
+        result["ok"] = bool(result["ok"] and lang["lang_ok"])
     return result
 
 

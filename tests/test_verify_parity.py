@@ -90,3 +90,32 @@ def test_verify_parity_detects_weight_divergence(artifacts, tmp_path):
     e_good = np.asarray(load_r3m_from_files(modelpath, configpath)(images))
     e_bad = np.asarray(load_r3m_from_files(badpath, configpath)(images))
     assert np.max(np.abs(e_good - e_bad)) > 1e-2
+
+
+def test_verify_parity_language_path(tmp_path):
+    """Artifacts carrying the full language stack (lang_enc.model.* +
+    lang_rew.pred.*) get the language-parity section: our converted
+    DistilBERT+reward chain vs a genuine transformers/torch forward."""
+    from transformers import DistilBertConfig as HFConfig, DistilBertModel
+
+    from .torch_ref import TorchLanguageReward
+
+    tm = torch_resnet(18).eval()
+    hf = DistilBertModel(
+        HFConfig(
+            vocab_size=30, dim=768, n_layers=1, n_heads=12, hidden_dim=48,
+            max_position_embeddings=32,
+        )
+    ).eval()
+    head = TorchLanguageReward(512, 16, 768).eval()
+    sd = {f"module.convnet.{k}": v for k, v in tm.state_dict().items()}
+    sd.update({f"module.lang_enc.model.{k}": v for k, v in hf.state_dict().items()})
+    sd.update({f"module.lang_rew.{k}": v for k, v in head.state_dict().items()})
+    modelpath = str(tmp_path / "model.pt")
+    torch.save({"r3m": sd}, modelpath)
+
+    result = verify_parity(modelpath, None, n_images=2)
+    assert result["mode"] == "torch-reference"
+    assert "lang_max_abs_diff" in result, result
+    assert result["lang_ok"] is True
+    assert result["ok"] is True
