@@ -120,6 +120,10 @@ def _load_from_artifacts(modelpath: str, configpath: str, mesh=None) -> R3MEncod
         agent_to_r3m_config(resolved),
         size=bundle["size"],  # trust the weights over the config
         langweight=0.0,
+        **(
+            # same principle for a ViT's crop size (pos-table-determined)
+            {"image_size": bundle["image_size"]} if "image_size" in bundle else {}
+        ),
     )
     return R3MEncoder(
         cfg,
@@ -162,7 +166,12 @@ def load_r3m_from_files(modelpath: str, configpath: str = None, mesh=None) -> R3
     from r3m_tpu.checkpoint import load_torch_checkpoint
 
     bundle = load_torch_checkpoint(modelpath, include_language=False)
-    cfg = R3MConfig(size=bundle["size"], langweight=0)
+    cfg = R3MConfig(
+        size=bundle["size"],
+        langweight=0,
+        # ViT snapshots fix the crop size via their pos-embedding table
+        image_size=bundle.get("image_size", R3MConfig.image_size),
+    )
     return R3MEncoder(
         cfg,
         params={"convnet": bundle["convnet"]["params"]},

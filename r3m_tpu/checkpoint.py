@@ -250,10 +250,17 @@ def restore_like(saved, ref):
             f"snapshot/state leaf-count mismatch: {len(saved_leaves)} vs "
             f"{len(ref_leaves)}"
         )
-    return jax.tree_util.tree_unflatten(
-        treedef,
-        [jnp.asarray(s, dtype=r.dtype) for s, r in zip(saved_leaves, ref_leaves)],
-    )
+    out = []
+    for i, (s, r) in enumerate(zip(saved_leaves, ref_leaves)):
+        s = jnp.asarray(s, dtype=r.dtype)
+        if jnp.shape(s) != jnp.shape(r):
+            raise ValueError(
+                f"snapshot/state shape mismatch at leaf {i}: "
+                f"{jnp.shape(s)} vs {jnp.shape(r)} — the snapshot was saved "
+                "from a different architecture/config than the restoring state"
+            )
+        out.append(s)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def load_train_snapshot(path: str, state):

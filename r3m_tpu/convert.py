@@ -140,15 +140,31 @@ def convert_r3m_torch_state(
          "lang_rew": {...} | None, "size": int}
     """
     sd = strip_prefix(dict(sd))
-    if size is None:
-        size = detect_resnet_size(sd, prefix="convnet.")
-    params, state = convert_resnet(sd, size, prefix="convnet.")
+    if "convnet.embeddings.cls_token" in sd:
+        # reference size==0 branch: convnet is an HF ViTModel
+        # (models_r3m.py:52-56); no BN state, architecture inferred from
+        # parameter shapes
+        from r3m_tpu.models.vit import convert_vit, vit_config_from_state
+
+        enc_sd = {
+            k[len("convnet."):]: v for k, v in sd.items() if k.startswith("convnet.")
+        }
+        vcfg = vit_config_from_state(enc_sd)
+        params, state = convert_vit(enc_sd, vcfg), {}
+        size = 0
+    else:
+        if size is None:
+            size = detect_resnet_size(sd, prefix="convnet.")
+        params, state = convert_resnet(sd, size, prefix="convnet.")
     bundle: Dict[str, Any] = {
         "convnet": {"params": params, "batch_stats": state},
         "size": size,
         "lang_rew": None,
         "lang_enc": None,
     }
+    if size == 0:
+        # serving needs the crop size the pos-embedding table was built for
+        bundle["image_size"] = vcfg.image_size
     if include_language and all(
         f"lang_rew.pred.{i}.{p}" in sd for i in (0, 2, 4, 6, 8) for p in ("weight", "bias")
     ):
@@ -262,7 +278,12 @@ def export_r3m_torch_state(
     at reference load time anyway.
     """
     pre = "module." if data_parallel else ""
-    sd = export_resnet(params["convnet"], batch_stats, size, prefix=f"{pre}convnet.")
+    if size == 0:
+        from r3m_tpu.models.vit import export_vit
+
+        sd = {f"{pre}convnet.{k}": v for k, v in export_vit(params["convnet"]).items()}
+    else:
+        sd = export_resnet(params["convnet"], batch_stats, size, prefix=f"{pre}convnet.")
     if params.get("lang_rew") is not None:
         sd.update(export_language_reward(params["lang_rew"], prefix=f"{pre}lang_rew."))
     return sd
@@ -316,6 +337,9 @@ def main(argv=None) -> int:
         cfg = R3MConfig(
             size=bundle["size"],
             langweight=1.0 if bundle.get("lang_rew") is not None else 0.0,
+            # a ViT's pos-embedding table fixes the crop size; the template
+            # state (and its optimizer moments) must be built to match
+            image_size=bundle.get("image_size", R3MConfig.image_size),
         )
         state = import_bundle_to_state(
             bundle, create_train_state(cfg, jax.random.PRNGKey(0))

@@ -145,6 +145,36 @@ def vit_b32_apply(
     return pooled.astype(jnp.float32)
 
 
+def vit_config_from_state(sd) -> ViTConfig:
+    """Infer the ViTConfig from an HF ViTModel state dict.
+
+    Shapes fully determine the architecture except `n_heads` (head count
+    never appears in parameter shapes); B32's 12 heads are assumed for
+    dim 768 and `dim // 64` (the HF family ratio) otherwise.
+    """
+    import re
+
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        for m in [re.match(r"encoder\.layer\.(\d+)\.", k)]
+        if m
+    )
+    w = sd["embeddings.patch_embeddings.projection.weight"]  # OIHW
+    dim, patch = int(w.shape[0]), int(w.shape[2])
+    hidden = int(sd["encoder.layer.0.intermediate.dense.weight"].shape[0])
+    n_tokens = int(sd["embeddings.position_embeddings"].shape[1])
+    side = int(round((n_tokens - 1) ** 0.5))
+    return ViTConfig(
+        image_size=side * patch,
+        patch_size=patch,
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=12 if dim == 768 else max(1, dim // 64),
+        hidden_dim=hidden,
+    )
+
+
 def convert_vit(sd, cfg: ViTConfig = B32) -> Pytree:
     """HF ViTModel state dict -> pytree (torch OIHW conv -> HWIO; [out,in] -> [in,out])."""
 
@@ -188,3 +218,45 @@ def convert_vit(sd, cfg: ViTConfig = B32) -> Pytree:
         )
     params["layers"] = layers
     return params
+
+
+def export_vit(params: Pytree, cfg: ViTConfig = B32) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_vit`: pytree -> HF ViTModel state-dict naming.
+
+    Lets a TPU-trained size==0 model round-trip into the reference's torch
+    snapshot format (the size==0 branch stores the HF ViTModel as
+    ``convnet`` — models_r3m.py:52-56, train_representation.py:123-130).
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def lin(prefix, p):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(p["w"], np.float32))
+        )
+        sd[f"{prefix}.bias"] = np.asarray(p["b"], np.float32)
+
+    def ln(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"], np.float32)
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+    sd["embeddings.patch_embeddings.projection.weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(params["patch"]["w"], np.float32), (3, 2, 0, 1))
+    )
+    sd["embeddings.patch_embeddings.projection.bias"] = np.asarray(
+        params["patch"]["b"], np.float32
+    )
+    sd["embeddings.cls_token"] = np.asarray(params["cls"], np.float32)
+    sd["embeddings.position_embeddings"] = np.asarray(params["pos"], np.float32)
+    ln("layernorm", params["final_ln"])
+    lin("pooler.dense", params["pooler"])
+    for i, layer in enumerate(params["layers"]):
+        base = f"encoder.layer.{i}"
+        ln(f"{base}.layernorm_before", layer["ln1"])
+        lin(f"{base}.attention.attention.query", layer["q"])
+        lin(f"{base}.attention.attention.key", layer["k"])
+        lin(f"{base}.attention.attention.value", layer["v"])
+        lin(f"{base}.attention.output.dense", layer["o"])
+        ln(f"{base}.layernorm_after", layer["ln2"])
+        lin(f"{base}.intermediate.dense", layer["lin1"])
+        lin(f"{base}.output.dense", layer["lin2"])
+    return sd

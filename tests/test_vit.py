@@ -101,3 +101,74 @@ def test_vit_honors_image_size_knob():
 
     with pytest.raises(ValueError, match="divisible"):
         r3m_init(jax.random.PRNGKey(0), R3MConfig(size=0, image_size=50))
+
+
+def test_vit_export_convert_roundtrip():
+    """export_vit emits exactly the HF ViTModel state-dict naming: a strict
+    torch load of the exported dict succeeds and reproduces the weights."""
+    tm = _hf_model(SMALL)
+    params = convert_vit(tm.state_dict(), SMALL)
+
+    from r3m_tpu.models.vit import export_vit
+
+    sd = export_vit(params, SMALL)
+    tm2 = _hf_model(SMALL)
+    tm2.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+    for k, v in tm.state_dict().items():
+        np.testing.assert_allclose(
+            tm2.state_dict()[k].numpy(), v.numpy(), rtol=0, atol=0, err_msg=k
+        )
+
+
+def test_vit_config_from_state():
+    """Architecture shape fields are recovered from a state dict (n_heads is
+    not shape-determined and follows the HF dim/64 family rule instead)."""
+    from r3m_tpu.models.vit import vit_config_from_state
+
+    got = vit_config_from_state(_hf_model(SMALL).state_dict())
+    assert (got.image_size, got.patch_size, got.dim, got.n_layers, got.hidden_dim) == (
+        SMALL.image_size,
+        SMALL.patch_size,
+        SMALL.dim,
+        SMALL.n_layers,
+        SMALL.hidden_dim,
+    )
+
+
+@pytest.mark.slow
+def test_reference_vit_snapshot_roundtrip(tmp_path):
+    """A size==0 model exported to the reference's torch snapshot format
+    loads back through `load_r3m_from_files` with identical embeddings —
+    the ViT counterpart of the resnet checkpoint round-trip."""
+    from types import SimpleNamespace
+
+    from r3m_tpu import load_r3m_from_files
+    from r3m_tpu.checkpoint import export_torch_snapshot
+    from r3m_tpu.models.r3m import R3MConfig, r3m_embed, r3m_init
+
+    cfg = R3MConfig(size=0, langweight=0.0, image_size=64)
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "snapshot.pt")
+    export_torch_snapshot(
+        path,
+        SimpleNamespace(
+            params=state["params"], batch_stats=state["batch_stats"], step=np.int32(7)
+        ),
+        size=0,
+    )
+
+    enc = load_r3m_from_files(path)
+    assert enc.cfg.size == 0
+    assert enc.cfg.image_size == 64  # inferred from the pos-embedding table
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 255, size=(2, 3, 64, 64)).astype(np.float32)
+    got = np.asarray(enc(imgs))
+
+    direct, _ = r3m_embed(
+        cfg,
+        state["params"],
+        state["batch_stats"],
+        jnp.asarray(imgs.transpose(0, 2, 3, 1)),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_allclose(got, np.asarray(direct), rtol=1e-5, atol=1e-5)
