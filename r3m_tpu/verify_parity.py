@@ -51,6 +51,8 @@ def _torch_forward(modelpath: str, images: np.ndarray) -> Optional[np.ndarray]:
     sd = torch_payload_state_dict(load_torch_payload(modelpath))
     sd = remove_language_head(strip_prefix(sd))
     sd = {k[len("convnet."):]: v for k, v in sd.items() if k.startswith("convnet.")}
+    if "embeddings.cls_token" in sd:
+        return _torch_vit_forward(sd, images)
     size = detect_resnet_size(sd)
     model = torch_resnet(size).eval()
     missing, unexpected = model.load_state_dict(sd, strict=False)
@@ -69,6 +71,41 @@ def _torch_forward(modelpath: str, images: np.ndarray) -> Optional[np.ndarray]:
     std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
     with torch.no_grad():
         return model((x - mean) / std).numpy()
+
+
+def _torch_vit_forward(sd, images: np.ndarray) -> Optional[np.ndarray]:
+    """ViT (size==0) reference forward: transformers ViTModel + 0.5/0.5
+    normalization (the reference's ViT branch, models_r3m.py:52-61)."""
+    import torch
+
+    try:
+        from transformers import ViTConfig as HFConfig, ViTModel
+    except ImportError:
+        return None
+    from r3m_tpu.models.vit import vit_config_from_state
+
+    cfg = vit_config_from_state(sd)
+    model = ViTModel(
+        HFConfig(
+            hidden_size=cfg.dim,
+            num_hidden_layers=cfg.n_layers,
+            num_attention_heads=cfg.n_heads,
+            intermediate_size=cfg.hidden_dim,
+            image_size=cfg.image_size,
+            patch_size=cfg.patch_size,
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        ),
+        add_pooling_layer=True,
+    ).eval()
+    try:
+        model.load_state_dict({k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()})
+    except RuntimeError as e:
+        print(f"[verify_parity] torch ViT reference load mismatch — {e}", file=sys.stderr)
+        return None
+    x = torch.from_numpy(images) / 255.0
+    with torch.no_grad():
+        return model((x - 0.5) / 0.5).pooler_output.numpy()
 
 
 def _language_parity(modelpath: str, seed: int = 0, n: int = 4) -> Optional[Dict]:

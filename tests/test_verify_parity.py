@@ -119,3 +119,31 @@ def test_verify_parity_language_path(tmp_path):
     assert "lang_max_abs_diff" in result, result
     assert result["lang_ok"] is True
     assert result["ok"] is True
+
+
+def test_verify_parity_vit_artifact(tmp_path):
+    """size==0 artifacts run the full torch-reference comparison (HF
+    ViTModel + 0.5/0.5 normalize) instead of falling back to convert-only."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from r3m_tpu.checkpoint import export_torch_snapshot
+    from r3m_tpu.models.r3m import R3MConfig, r3m_init
+
+    cfg = R3MConfig(size=0, langweight=0.0, image_size=64)
+    state = r3m_init(jax.random.PRNGKey(1), cfg)
+    modelpath = str(tmp_path / "model.pt")
+    export_torch_snapshot(
+        modelpath,
+        SimpleNamespace(
+            params=state["params"], batch_stats=state["batch_stats"], step=np.int32(0)
+        ),
+        size=0,
+    )
+
+    result = verify_parity(modelpath, None, n_images=2)
+    assert result["mode"] == "torch-reference", result
+    assert result["size"] == 0 and result["out_dim"] == 768
+    assert result["cosine_min"] >= COSINE_BAR, result
+    assert result["ok"] is True
