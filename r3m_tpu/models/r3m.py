@@ -316,7 +316,7 @@ class R3MEncoder:
         """NCHW [0,255] images -> [B, out_dim]. `num_ims`/`obs_shape` are
         accepted for reference-signature compatibility (models_r3m.py:84)
         — shape handling here is automatic."""
-        obs = jnp.asarray(np.asarray(obs))
+        obs = np.asarray(obs)
         if obs.ndim == 3:
             obs = obs[None]
         if obs.ndim != 4 or obs.shape[1] != 3:
@@ -337,7 +337,12 @@ class R3MEncoder:
                     f"batch {obs.shape[0]} not divisible by the {n}-device "
                     "serving mesh (pad the batch or drop mesh=)"
                 )
+            # device_put straight from host memory: each chip receives only
+            # its 1/n batch slice (an intermediate jnp.asarray would commit
+            # the WHOLE batch to device 0's HBM first, then redistribute)
             obs = jax.device_put(obs, batch_sharded(self.mesh))
+        else:
+            obs = jnp.asarray(obs)
         return self._fwd(self.params, self.batch_stats, obs)
 
     def eval(self):  # torch-API compat no-ops

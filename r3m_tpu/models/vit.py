@@ -220,7 +220,7 @@ def convert_vit(sd, cfg: ViTConfig = B32) -> Pytree:
     return params
 
 
-def export_vit(params: Pytree, cfg: ViTConfig = B32) -> Dict[str, np.ndarray]:
+def export_vit(params: Pytree) -> Dict[str, np.ndarray]:
     """Inverse of `convert_vit`: pytree -> HF ViTModel state-dict naming.
 
     Lets a TPU-trained size==0 model round-trip into the reference's torch

@@ -166,7 +166,11 @@ class R3MRewardModel:
                 "bert_weights=<distilbert.npz> (see r3m-prepare-language)"
             )
         cfg = R3MConfig(
-            size=bundle["size"], langweight=1.0, compute_dtype="float32"
+            size=bundle["size"],
+            langweight=1.0,
+            compute_dtype="float32",
+            # a ViT's pos-embedding table fixes the crop size
+            image_size=bundle.get("image_size", R3MConfig.image_size),
         )
         return cls(
             cfg,

@@ -126,11 +126,15 @@ def _language_parity(modelpath: str, seed: int = 0, n: int = 4) -> Optional[Dict
         from r3m_tpu.torch_oracle import TorchLanguageReward
     except ImportError:
         return None
-    from r3m_tpu.checkpoint import load_torch_checkpoint
+    from r3m_tpu.checkpoint import load_torch_payload, torch_payload_state_dict
+    from r3m_tpu.convert import convert_r3m_torch_state, strip_prefix
     from r3m_tpu.models.distilbert import sentence_embedding
     from r3m_tpu.models.language_reward import language_reward_apply
 
-    bundle = load_torch_checkpoint(modelpath, include_language=True)
+    # one unpickle for both the converted bundle and the torch-side load
+    # (real language snapshots are GB-scale)
+    sd = strip_prefix(torch_payload_state_dict(load_torch_payload(modelpath)))
+    bundle = convert_r3m_torch_state(sd, include_language=True)
     if bundle.get("lang_rew") is None or bundle.get("lang_enc") is None:
         return None
     import jax.numpy as jnp
@@ -155,10 +159,6 @@ def _language_parity(modelpath: str, seed: int = 0, n: int = 4) -> Optional[Dict
         dtype=np.float64,
     )
 
-    from r3m_tpu.checkpoint import load_torch_payload, torch_payload_state_dict
-    from r3m_tpu.convert import strip_prefix
-
-    sd = strip_prefix(torch_payload_state_dict(load_torch_payload(modelpath)))
     enc_prefix, rew_prefix = "lang_enc.model.", "lang_rew."
     hf = DistilBertModel(
         HFConfig(
@@ -167,14 +167,23 @@ def _language_parity(modelpath: str, seed: int = 0, n: int = 4) -> Optional[Dict
             max_position_embeddings=cfg.max_position_embeddings,
         )
     ).eval()
-    hf.load_state_dict(
-        {k[len(enc_prefix):]: v for k, v in sd.items() if k.startswith(enc_prefix)}
-    )
-    hidden = sd["lang_rew.pred.0.weight"].shape[0]
+    hidden = int(np.asarray(sd["lang_rew.pred.0.weight"]).shape[0])
     head = TorchLanguageReward(out_dim, hidden, cfg.dim).eval()
-    head.load_state_dict(
-        {k[len(rew_prefix):]: v for k, v in sd.items() if k.startswith(rew_prefix)}
-    )
+    try:
+        hf.load_state_dict(
+            {k[len(enc_prefix):]: v for k, v in sd.items() if k.startswith(enc_prefix)}
+        )
+        head.load_state_dict(
+            {k[len(rew_prefix):]: v for k, v in sd.items() if k.startswith(rew_prefix)}
+        )
+    except RuntimeError as e:
+        # e.g. a transformers-version key-set mismatch; degrade like the
+        # vision side does rather than discarding the vision stats
+        print(
+            f"[verify_parity] torch language reference load mismatch — {e}",
+            file=sys.stderr,
+        )
+        return None
     with torch.no_grad():
         t_le = hf(
             torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)

@@ -190,3 +190,31 @@ def test_from_torch_snapshot_without_embedded_bert_needs_weights(artifacts, tmp_
     export_torch_snapshot(pt, state, size=18)
     with pytest.raises(ValueError, match="lang_enc"):
         R3MRewardModel.from_torch_snapshot(pt, None, vocab)
+
+
+def test_reward_from_torch_vit_snapshot(artifacts, tmp_path):
+    """A reference-format ViT (size==0) training snapshot serves rewards;
+    the crop size comes from the pos-embedding table, not the 224 default."""
+    from types import SimpleNamespace
+
+    from r3m_tpu.checkpoint import export_torch_snapshot
+
+    _, bert, vocab = artifacts
+    cfg = R3MConfig(size=0, langweight=1.0, image_size=64)
+    state = create_train_state(cfg, jax.random.PRNGKey(2))
+    pt = str(tmp_path / "snapshot.pt")
+    export_torch_snapshot(
+        pt,
+        SimpleNamespace(
+            params=state.params, batch_stats=state.batch_stats, step=state.step
+        ),
+        size=0,
+    )
+
+    rm = R3MRewardModel.from_torch_snapshot(pt, bert, vocab)
+    assert rm.cfg.size == 0 and rm.cfg.image_size == 64
+    rng = np.random.default_rng(0)
+    im0 = rng.integers(0, 255, size=(2, 3, 64, 64)).astype(np.float32)
+    imt = rng.integers(0, 255, size=(2, 3, 64, 64)).astype(np.float32)
+    r = rm(im0, imt, ["pick up the cup", "open the door"])
+    assert r.shape == (2,) and np.all(np.isfinite(np.asarray(r)))

@@ -111,7 +111,7 @@ def test_vit_export_convert_roundtrip():
 
     from r3m_tpu.models.vit import export_vit
 
-    sd = export_vit(params, SMALL)
+    sd = export_vit(params)
     tm2 = _hf_model(SMALL)
     tm2.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
     for k, v in tm.state_dict().items():
@@ -172,3 +172,15 @@ def test_reference_vit_snapshot_roundtrip(tmp_path):
         precision=jax.lax.Precision.HIGHEST,
     )
     np.testing.assert_allclose(got, np.asarray(direct), rtol=1e-5, atol=1e-5)
+
+
+def test_convert_rejects_non_b32_vit():
+    """Reference-artifact conversion only serves ViT-B/32; other geometries
+    must fail loudly at convert time, not with a shape error at forward."""
+    from r3m_tpu.convert import convert_r3m_torch_state
+
+    sd = {
+        f"module.convnet.{k}": v for k, v in _hf_model(SMALL).state_dict().items()
+    }
+    with pytest.raises(ValueError, match="ViT-B/32"):
+        convert_r3m_torch_state(sd)
