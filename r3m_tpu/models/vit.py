@@ -227,20 +227,21 @@ def export_vit(params: Pytree) -> Dict[str, np.ndarray]:
     snapshot format (the size==0 branch stores the HF ViTModel as
     ``convnet`` — models_r3m.py:52-56, train_representation.py:123-130).
     """
+    # share the torch-export layout conventions with the resnet/linear
+    # exporters so a convention fix in convert.py covers this path too
+    from r3m_tpu.convert import _conv_w_inv, export_linear
+
     sd: Dict[str, np.ndarray] = {}
 
     def lin(prefix, p):
-        sd[f"{prefix}.weight"] = np.ascontiguousarray(
-            np.transpose(np.asarray(p["w"], np.float32))
-        )
-        sd[f"{prefix}.bias"] = np.asarray(p["b"], np.float32)
+        export_linear(p, prefix, sd)
 
     def ln(prefix, p):
         sd[f"{prefix}.weight"] = np.asarray(p["scale"], np.float32)
         sd[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
 
-    sd["embeddings.patch_embeddings.projection.weight"] = np.ascontiguousarray(
-        np.transpose(np.asarray(params["patch"]["w"], np.float32), (3, 2, 0, 1))
+    sd["embeddings.patch_embeddings.projection.weight"] = _conv_w_inv(
+        params["patch"]["w"]
     )
     sd["embeddings.patch_embeddings.projection.bias"] = np.asarray(
         params["patch"]["b"], np.float32
