@@ -38,7 +38,9 @@ def main():
     from r3m_tpu.training.trainer import create_train_state, make_train_step
 
     bs = int(os.environ.get("BENCH_BS", "64"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # 50 steps ≈ 7 s of measured device time: two uncontended 50-step runs
+    # landed within 0.1% of each other, vs ±7% across 20-step runs.
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     size = int(os.environ.get("BENCH_SIZE", "50"))  # 18|34|50|0 (ViT-B/32)
     cfg = R3MConfig(
