@@ -174,34 +174,46 @@ def convert_r3m_torch_state(
     if size == 0:
         # serving needs the crop size the pos-embedding table was built for
         bundle["image_size"] = vcfg.image_size
-    if include_language and all(
+    if include_language:
+        bundle.update(convert_language_stack(sd))
+    return bundle
+
+
+def convert_language_stack(sd: StateDict) -> Dict[str, Any]:
+    """Language parts of an (already prefix-stripped) R3M snapshot.
+
+    Returns ``{"lang_rew": ... | None, "lang_enc": ... | None}`` without
+    touching the vision tower — usable on its own when only the language
+    stack is needed (e.g. verify_parity's torch-reference side).
+    """
+    out: Dict[str, Any] = {"lang_rew": None, "lang_enc": None}
+    if all(
         f"lang_rew.pred.{i}.{p}" in sd for i in (0, 2, 4, 6, 8) for p in ("weight", "bias")
     ):
         # require the complete 5-layer head: stray/truncated lang_rew keys
         # (e.g. an artifact partially stripped by remove_language_head) are
         # treated as "no language head", not a conversion error
-        bundle["lang_rew"] = convert_language_reward(sd)
-    if include_language:
-        # language-trained reference snapshots embed the (frozen) DistilBERT
-        # itself: R3M registers LangEncoder as a submodule, so
-        # model.state_dict() carries `lang_enc.model.*` (the full HF
-        # DistilBertModel — models_r3m.py:70, train_representation.py:127)
-        enc_prefix = "lang_enc.model."
-        enc_sd = {
-            k[len(enc_prefix):]: v for k, v in sd.items() if k.startswith(enc_prefix)
-        }
-        if enc_sd:
-            from r3m_tpu.models.distilbert import (
-                convert_distilbert,
-                distilbert_config_from_state,
-            )
+        out["lang_rew"] = convert_language_reward(sd)
+    # language-trained reference snapshots embed the (frozen) DistilBERT
+    # itself: R3M registers LangEncoder as a submodule, so
+    # model.state_dict() carries `lang_enc.model.*` (the full HF
+    # DistilBertModel — models_r3m.py:70, train_representation.py:127)
+    enc_prefix = "lang_enc.model."
+    enc_sd = {
+        k[len(enc_prefix):]: v for k, v in sd.items() if k.startswith(enc_prefix)
+    }
+    if enc_sd:
+        from r3m_tpu.models.distilbert import (
+            convert_distilbert,
+            distilbert_config_from_state,
+        )
 
-            cfg = distilbert_config_from_state(enc_sd)
-            bundle["lang_enc"] = {
-                "params": convert_distilbert(enc_sd, cfg),
-                "cfg": cfg,
-            }
-    return bundle
+        cfg = distilbert_config_from_state(enc_sd)
+        out["lang_enc"] = {
+            "params": convert_distilbert(enc_sd, cfg),
+            "cfg": cfg,
+        }
+    return out
 
 
 # ---------------------------------------------------------------------------

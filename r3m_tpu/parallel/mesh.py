@@ -104,10 +104,10 @@ def place_host_batch(
         return jax.tree_util.tree_map(jnp.asarray, batch)
     if multihost is None:
         multihost = jax.process_count() > 1
-    sharding = batch_sharded(mesh)
     if multihost:
+        sharding = batch_sharded(mesh)
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(sharding, x),
             batch,
         )
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return shard_batch(mesh, batch)

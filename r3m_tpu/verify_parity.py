@@ -31,12 +31,28 @@ import numpy as np
 COSINE_BAR = 0.999  # BASELINE.json north-star parity bar
 
 
-def _torch_forward(modelpath: str, images: np.ndarray) -> Optional[np.ndarray]:
+def _load_torch_reference_state(modelpath: str):
+    """One shared unpickle for the torch-reference side of the check.
+
+    Deliberately separate from the `load_r3m_from_files` load — that one is
+    the production serving path this CLI exists to validate and must stay
+    independent — but shared between the vision and language reference
+    helpers (real language snapshots are GB-scale; one unpickle, not two).
+    Returns the prefix-stripped state dict, or None when torch is absent.
+    """
+    try:
+        import torch  # noqa: F401  (torch unpickling backs the payload load)
+    except ImportError:
+        return None
+    from r3m_tpu.checkpoint import load_torch_payload, torch_payload_state_dict
+    from r3m_tpu.convert import strip_prefix
+
+    return strip_prefix(torch_payload_state_dict(load_torch_payload(modelpath)))
+
+
+def _torch_forward(full_sd, images: np.ndarray) -> Optional[np.ndarray]:
     """Reference-style forward: torch model + /255 + ImageNet normalize.
 
-    Loads the artifact a second time on purpose — the other load goes
-    through `load_r3m_from_files`, the exact production serving path this
-    CLI exists to validate, and must stay independent of this one.
     Returns None when torch is unavailable (conversion-only mode).
     """
     try:
@@ -45,11 +61,9 @@ def _torch_forward(modelpath: str, images: np.ndarray) -> Optional[np.ndarray]:
         from r3m_tpu.torch_oracle import torch_resnet
     except ImportError:
         return None
-    from r3m_tpu.checkpoint import load_torch_payload, torch_payload_state_dict
-    from r3m_tpu.convert import detect_resnet_size, remove_language_head, strip_prefix
+    from r3m_tpu.convert import detect_resnet_size, remove_language_head
 
-    sd = torch_payload_state_dict(load_torch_payload(modelpath))
-    sd = remove_language_head(strip_prefix(sd))
+    sd = remove_language_head(dict(full_sd))
     sd = {k[len("convnet."):]: v for k, v in sd.items() if k.startswith("convnet.")}
     if "embeddings.cls_token" in sd:
         return _torch_vit_forward(sd, images)
@@ -108,7 +122,7 @@ def _torch_vit_forward(sd, images: np.ndarray) -> Optional[np.ndarray]:
         return model((x - 0.5) / 0.5).pooler_output.numpy()
 
 
-def _language_parity(modelpath: str, seed: int = 0, n: int = 4) -> Optional[Dict]:
+def _language_parity(sd, seed: int = 0, n: int = 4) -> Optional[Dict]:
     """Language-path parity: embedded DistilBERT + reward head, ours vs torch.
 
     Training/reproduce artifacts carry the full language stack
@@ -126,15 +140,11 @@ def _language_parity(modelpath: str, seed: int = 0, n: int = 4) -> Optional[Dict
         from r3m_tpu.torch_oracle import TorchLanguageReward
     except ImportError:
         return None
-    from r3m_tpu.checkpoint import load_torch_payload, torch_payload_state_dict
-    from r3m_tpu.convert import convert_r3m_torch_state, strip_prefix
+    from r3m_tpu.convert import convert_language_stack
     from r3m_tpu.models.distilbert import sentence_embedding
     from r3m_tpu.models.language_reward import language_reward_apply
 
-    # one unpickle for both the converted bundle and the torch-side load
-    # (real language snapshots are GB-scale)
-    sd = strip_prefix(torch_payload_state_dict(load_torch_payload(modelpath)))
-    bundle = convert_r3m_torch_state(sd, include_language=True)
+    bundle = convert_language_stack(sd)
     if bundle.get("lang_rew") is None or bundle.get("lang_enc") is None:
         return None
     import jax.numpy as jnp
@@ -243,7 +253,8 @@ def verify_parity(
         )
         return result
 
-    ref = _torch_forward(modelpath, images)
+    ref_sd = _load_torch_reference_state(modelpath)
+    ref = None if ref_sd is None else _torch_forward(ref_sd, images)
     if ref is None:
         result.update(
             {
@@ -267,7 +278,7 @@ def verify_parity(
             "ok": bool(np.min(cos) >= COSINE_BAR),
         }
     )
-    lang = _language_parity(modelpath, seed=seed)
+    lang = _language_parity(ref_sd, seed=seed)
     if lang is not None:
         result.update(lang)
         result["ok"] = bool(result["ok"] and lang["lang_ok"])
