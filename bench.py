@@ -50,6 +50,7 @@ def main():
         l1weight=1e-5,
         bs=bs,
         compute_dtype=compute_dtype,
+        remat=os.environ.get("BENCH_REMAT", "none"),
     )
     key = jax.random.PRNGKey(0)
     k_state, k_img = jax.random.split(key)

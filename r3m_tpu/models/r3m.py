@@ -67,6 +67,10 @@ class R3MConfig:
     # Adam at the reference lr degrades.
     optimizer: str = "adam"
     weight_decay: float = 0.0  # lars only; adam matches torch (none)
+    # "conv_saved" reruns the elementwise BN/ReLU passes in the backward
+    # instead of storing post-activation copies (resnet_apply docstring);
+    # measured lever, see BASELINE.md. ResNet backbones only.
+    remat: str = "none"
 
     @property
     def out_dim(self) -> int:
@@ -159,6 +163,7 @@ def r3m_embed(
         train=train,
         compute_dtype=cfg.jnp_compute_dtype,
         precision=precision,
+        remat=cfg.remat,
     )
     return feats, new_stats
 

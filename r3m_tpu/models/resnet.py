@@ -26,6 +26,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 Pytree = Any
 
@@ -107,8 +108,13 @@ def batch_norm(x, params, state, *, train: bool, momentum=0.1, eps=1e-5):
     bias = params["bias"].astype(jnp.float32)
     if train:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+        # "bn_stat" tags make the tiny [C] reductions saveable under the
+        # selective-remat policy (resnet_apply remat="conv_saved") so the
+        # backward never re-reduces a full activation; no-ops otherwise.
+        mean = checkpoint_name(jnp.mean(xf, axis=(0, 1, 2)), "bn_stat")
+        var = checkpoint_name(
+            jnp.mean(jnp.square(xf), axis=(0, 1, 2)), "bn_stat"
+        ) - jnp.square(mean)
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
@@ -162,13 +168,13 @@ def _basic_block_init(key, cin, planes, stride, dtype):
 
 def _basic_block_apply(x, p, s, stride, *, train, precision=None):
     ns: Dict[str, Any] = {}
-    y = conv2d(x, p["conv1"]["w"], stride=stride, padding=1, precision=precision)
+    y = _named_conv(x, p["conv1"]["w"], stride=stride, padding=1, precision=precision)
     y, ns["bn1"] = batch_norm(y, p["bn1"], s["bn1"], train=train)
     y = jax.nn.relu(y)
-    y = conv2d(y, p["conv2"]["w"], stride=1, padding=1, precision=precision)
+    y = _named_conv(y, p["conv2"]["w"], stride=1, padding=1, precision=precision)
     y, ns["bn2"] = batch_norm(y, p["bn2"], s["bn2"], train=train)
     if "downsample" in p:
-        sc = conv2d(x, p["downsample"]["conv"]["w"], stride=stride, padding=0, precision=precision)
+        sc = _named_conv(x, p["downsample"]["conv"]["w"], stride=stride, padding=0, precision=precision)
         sc, ds_bn = batch_norm(sc, p["downsample"]["bn"], s["downsample"]["bn"], train=train)
         ns["downsample"] = {"bn": ds_bn}
     else:
@@ -195,19 +201,28 @@ def _bottleneck_init(key, cin, planes, stride, expansion, dtype):
     return p, s
 
 
+def _named_conv(x, w, stride, padding, precision=None):
+    """conv2d whose output is tagged "conv_out" for the selective-remat
+    policy (a no-op outside jax.checkpoint)."""
+    return checkpoint_name(
+        conv2d(x, w, stride=stride, padding=padding, precision=precision),
+        "conv_out",
+    )
+
+
 def _bottleneck_apply(x, p, s, stride, *, train, precision=None):
     # torchvision ordering: 1x1 (stride 1) -> 3x3 (stride s) -> 1x1.
     ns: Dict[str, Any] = {}
-    y = conv2d(x, p["conv1"]["w"], stride=1, padding=0, precision=precision)
+    y = _named_conv(x, p["conv1"]["w"], stride=1, padding=0, precision=precision)
     y, ns["bn1"] = batch_norm(y, p["bn1"], s["bn1"], train=train)
     y = jax.nn.relu(y)
-    y = conv2d(y, p["conv2"]["w"], stride=stride, padding=1, precision=precision)
+    y = _named_conv(y, p["conv2"]["w"], stride=stride, padding=1, precision=precision)
     y, ns["bn2"] = batch_norm(y, p["bn2"], s["bn2"], train=train)
     y = jax.nn.relu(y)
-    y = conv2d(y, p["conv3"]["w"], stride=1, padding=0, precision=precision)
+    y = _named_conv(y, p["conv3"]["w"], stride=1, padding=0, precision=precision)
     y, ns["bn3"] = batch_norm(y, p["bn3"], s["bn3"], train=train)
     if "downsample" in p:
-        sc = conv2d(x, p["downsample"]["conv"]["w"], stride=stride, padding=0, precision=precision)
+        sc = _named_conv(x, p["downsample"]["conv"]["w"], stride=stride, padding=0, precision=precision)
         sc, ds_bn = batch_norm(sc, p["downsample"]["bn"], s["downsample"]["bn"], train=train)
         ns["downsample"] = {"bn": ds_bn}
     else:
@@ -257,11 +272,21 @@ def resnet_apply(
     train: bool = False,
     compute_dtype=None,
     precision=None,
+    remat: str = "none",
 ) -> Tuple[jax.Array, Pytree]:
     """Forward pass. `x` is NHWC, already normalized. Returns (features, new_state).
 
     Features are the global-average-pooled embedding ([B, out_dim]) — the
     reference's `fc = Identity()` semantics (models_r3m.py:62).
+
+    remat="conv_saved" wraps every residual block in `jax.checkpoint` with
+    a save-only-these-names policy: conv outputs and the [C]-sized BN batch
+    statistics are saved; the elementwise BN-normalize/ReLU passes are
+    recomputed during the backward (cheap — their inputs are the saved conv
+    outputs the backward reads anyway). This trades a little VPU recompute
+    for not storing the post-activation copies of every layer — an
+    HBM-residual-traffic experiment, NOT the round-1 full-block remat
+    (which recomputed the convs themselves and lost 18%).
     """
     spec = RESNET_SPECS[size]
     if compute_dtype is not None:
@@ -274,14 +299,32 @@ def resnet_apply(
     y = max_pool_3x3s2(y)
 
     apply_block = _basic_block_apply if spec.block == "basic" else _bottleneck_apply
+    if remat == "conv_saved":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "conv_out", "bn_stat"
+        )
+
+        def run_block(yb, pb, sb, stride):
+            fn = lambda y_, p_, s_: apply_block(  # noqa: E731
+                y_, p_, s_, stride, train=train, precision=precision
+            )
+            return jax.checkpoint(fn, policy=policy)(yb, pb, sb)
+
+    elif remat == "none":
+
+        def run_block(yb, pb, sb, stride):
+            return apply_block(
+                yb, pb, sb, stride, train=train, precision=precision
+            )
+
+    else:
+        raise ValueError(f"unknown remat mode {remat!r}")
     for stage, num_blocks in enumerate(spec.stage_sizes):
         name = f"layer{stage + 1}"
         stage_states = []
         for b in range(num_blocks):
             stride = 2 if (stage > 0 and b == 0) else 1
-            y, bs = apply_block(
-                y, params[name][b], state[name][b], stride, train=train, precision=precision
-            )
+            y, bs = run_block(y, params[name][b], state[name][b], stride)
             stage_states.append(bs)
         new_state[name] = stage_states
 

@@ -162,3 +162,29 @@ def test_encoder_refolds_on_weight_swap(rng):
     enc.params["convnet"] = s2["params"]["convnet"]  # nested swap
     e2 = np.asarray(enc(img))
     assert not np.allclose(e1, e2)
+
+
+def test_conv_saved_remat_is_bit_exact(rng):
+    """remat="conv_saved" (jax.checkpoint, save-only conv outs + BN stats)
+    must not change the loss, gradients, or BN running-stat updates."""
+    params, state = resnet_init(jax.random.PRNGKey(0), 18)
+    x = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)).astype(np.float32))
+
+    def loss(p, remat):
+        f, ns = resnet_apply(p, state, x, size=18, train=True, remat=remat)
+        return jnp.sum(f**2), ns
+
+    (l0, ns0), g0 = jax.value_and_grad(loss, has_aux=True)(params, "none")
+    (l1, ns1), g1 = jax.value_and_grad(loss, has_aux=True)(params, "conv_saved")
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(ns0), jax.tree_util.tree_leaves(ns1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resnet_apply_rejects_unknown_remat():
+    params, state = resnet_init(jax.random.PRNGKey(0), 18)
+    x = jnp.zeros((1, 32, 32, 3))
+    with pytest.raises(ValueError, match="remat"):
+        resnet_apply(params, state, x, size=18, train=True, remat="blocks")
