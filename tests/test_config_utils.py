@@ -25,6 +25,15 @@ def test_agent_to_r3m_config_string_coercion():
     assert cfg.l1weight == 1e-5 and cfg.lr == 1e-4 and cfg.size == 18
 
 
+def test_root_yaml_accepts_documented_remat_override():
+    """README documents `agent.remat=conv_saved`; the strict override
+    machinery only accepts keys present in the root yaml, so the knob must
+    live there and flow through to R3MConfig."""
+    cfg = load_config("cfgs/config_rep.yaml", ["agent.remat=conv_saved"])
+    assert agent_to_r3m_config(cfg["agent"]).remat == "conv_saved"
+    assert agent_to_r3m_config(load_config("cfgs/config_rep.yaml")["agent"]).remat == "none"
+
+
 def test_instantiate_target():
     obj = instantiate({"_target_": "collections.OrderedDict"}, a=1)
     assert obj["a"] == 1
