@@ -35,6 +35,14 @@ ATTEMPTS = 10  # torchvision RandomResizedCrop.get_params
 LOG_RATIO = (float(np.log(3.0 / 4.0)), float(np.log(4.0 / 3.0)))
 
 
+def _check_norm_pair(mean, std) -> None:
+    if (mean is None) != (std is None):
+        raise ValueError(
+            "mean and std must be given together (got only one); the "
+            "normalized-output form needs both"
+        )
+
+
 def sample_crop_params(
     key: jax.Array,
     height: int,
@@ -112,8 +120,7 @@ def resized_crop(
     `compute_dtype` — the encoder-input form, skipping a separate
     normalize pass over the full frame (models_r3m.py:58-61).
     """
-    if (mean is None) != (std is None):
-        raise ValueError("mean and std must be given together (got only one)")
+    _check_norm_pair(mean, std)
     img = img.astype(compute_dtype)
     hi, wi = img.shape[0], img.shape[1]
     o = jnp.arange(out_size, dtype=jnp.float32) + 0.5
@@ -167,11 +174,7 @@ def random_resized_crop_clips(
     normalized encoder-input form ((x/255 - mean)/std) with the rescale
     folded into the crop weights — see `resized_crop`.
     """
-    if (mean is None) != (std is None):
-        raise ValueError(
-            "mean and std must be given together (got only one); the "
-            "normalized-output form needs both"
-        )
+    _check_norm_pair(mean, std)
     b, f, hgt, wid, c = clips.shape
     if mode not in ("rc", "rctraj"):
         assert hgt == out_size and wid == out_size, "mode=none needs pre-sized frames"

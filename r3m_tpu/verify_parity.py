@@ -47,7 +47,24 @@ def _load_torch_reference_state(modelpath: str):
     from r3m_tpu.checkpoint import load_torch_payload, torch_payload_state_dict
     from r3m_tpu.convert import strip_prefix
 
-    return strip_prefix(torch_payload_state_dict(load_torch_payload(modelpath)))
+    try:
+        payload = load_torch_payload(modelpath)
+    except Exception as torch_err:
+        # Native .npz snapshots are valid CLI inputs (the converter side
+        # serves them) but carry no torch-reference weights; degrade to
+        # convert-only mode instead of dying on the unpickler's message.
+        # Anything that is neither a torch pickle nor an npz re-raises.
+        try:
+            np.load(modelpath, allow_pickle=False).close()
+        except Exception:
+            raise torch_err
+        print(
+            f"[verify_parity] {modelpath} is a native snapshot, not a torch "
+            "artifact — torch-reference forward skipped",
+            file=sys.stderr,
+        )
+        return None
+    return strip_prefix(torch_payload_state_dict(payload))
 
 
 def _torch_forward(full_sd, images: np.ndarray) -> Optional[np.ndarray]:
@@ -80,9 +97,13 @@ def _torch_forward(full_sd, images: np.ndarray) -> Optional[np.ndarray]:
             file=sys.stderr,
         )
         return None
+    from r3m_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+
+    # the single source of the constants: the same ops.image values feed
+    # the JAX side via cfg.norm_stats, so the two paths cannot drift
     x = torch.from_numpy(images) / 255.0
-    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
-    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    mean = torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
     with torch.no_grad():
         return model((x - mean) / std).numpy()
 
@@ -117,9 +138,13 @@ def _torch_vit_forward(sd, images: np.ndarray) -> Optional[np.ndarray]:
     except RuntimeError as e:
         print(f"[verify_parity] torch ViT reference load mismatch — {e}", file=sys.stderr)
         return None
+    from r3m_tpu.ops.image import VIT_MEAN, VIT_STD
+
     x = torch.from_numpy(images) / 255.0
+    mean = torch.tensor(VIT_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(VIT_STD).view(1, 3, 1, 1)
     with torch.no_grad():
-        return model((x - 0.5) / 0.5).pooler_output.numpy()
+        return model((x - mean) / std).pooler_output.numpy()
 
 
 def _language_parity(sd, seed: int = 0, n: int = 4) -> Optional[Dict]:
@@ -260,7 +285,9 @@ def verify_parity(
             {
                 "mode": "convert-only",
                 "ok": bool(np.all(np.isfinite(ours))),
-                "note": "torch reference unavailable; checked conversion + finite forward only",
+                "note": "no torch reference for this artifact (torch absent, "
+                "load mismatch, or a native snapshot); checked conversion + "
+                "finite forward only",
             }
         )
         return result

@@ -92,6 +92,29 @@ def test_verify_parity_detects_weight_divergence(artifacts, tmp_path):
     assert np.max(np.abs(e_good - e_bad)) > 1e-2
 
 
+def test_verify_parity_native_snapshot_degrades_to_convert_only(tmp_path):
+    """A native .npz snapshot is a valid CLI input (the converter side
+    serves it) but has no torch-reference weights: the CLI must report
+    convert-only mode, not die inside the torch unpickler."""
+    import jax
+
+    from r3m_tpu.checkpoint import save_snapshot
+    from r3m_tpu.models.r3m import R3MConfig, r3m_init
+
+    cfg = R3MConfig(size=18, langweight=0.0)
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "snapshot.npz")
+    save_snapshot(
+        path,
+        {"params": state["params"], "batch_stats": state["batch_stats"]},
+        meta={"config": {"size": 18}},
+    )
+
+    result = verify_parity(path, None, n_images=2)
+    assert result["mode"] == "convert-only", result
+    assert result["ok"] is True
+
+
 def test_verify_parity_language_path(tmp_path):
     """Artifacts carrying the full language stack (lang_enc.model.* +
     lang_rew.pred.*) get the language-parity section: our converted
