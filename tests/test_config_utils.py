@@ -34,6 +34,40 @@ def test_root_yaml_accepts_documented_remat_override():
     assert agent_to_r3m_config(load_config("cfgs/config_rep.yaml")["agent"]).remat == "none"
 
 
+def test_distributed_auto_gate(monkeypatch):
+    """`distributed_init: auto` must NOT call jax.distributed.initialize on
+    a single-worker host: the axon tunnel exports TPU_WORKER_HOSTNAMES=
+    "localhost" (one worker), which is not a pod launch. Explicit
+    coordination env or >1 TPU worker triggers it; `false` never does."""
+    import jax
+
+    import train_representation as tr
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.delenv(k, raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **kw: calls.append(kw))
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    tr._maybe_init_distributed({"distributed_init": "auto"})
+    assert calls == []
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    tr._maybe_init_distributed({"distributed_init": "false"})
+    assert calls == []
+    tr._maybe_init_distributed({"distributed_init": "auto"})
+    assert len(calls) == 1
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    tr._maybe_init_distributed({"distributed_init": "auto"})
+    assert len(calls) == 2 and calls[-1]["process_id"] == 1
+
+
 def test_instantiate_target():
     obj = instantiate({"_target_": "collections.OrderedDict"}, a=1)
     assert obj["a"] == 1

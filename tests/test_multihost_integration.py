@@ -63,3 +63,56 @@ def test_two_process_distributed_train_step():
         losses.append(float(m.group(1)))
     assert abs(losses[0] - losses[1]) < 1e-5, losses  # one global SPMD program
     assert all(abs(x) < 1e6 for x in losses), losses
+
+
+def test_two_process_training_cli(tmp_path):
+    """The FULL training CLI under two jax.distributed processes:
+    `distributed_init: auto` picks up the coordination env, each host feeds
+    its disjoint manifest shard of the global batch, and only the lead
+    process writes snapshots + CSV to the shared run dir."""
+    from r3m_tpu.data.ego4d import write_synthetic_dataset
+
+    data = write_synthetic_dataset(str(tmp_path / "data"), n_videos=8, size=32)
+    run_dir = tmp_path / "run"
+    coord = f"localhost:{_free_port()}"
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            JAX_COORDINATOR_ADDRESS=coord,
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.join(REPO, "train_representation.py"),
+                    f"datapath={data}", f"log_dir={run_dir}",
+                    "agent.size=18", "agent.langweight=0.0", "+agent.image_size=32",
+                    "batch_size=8", "train_steps=2", "eval_freq=5",
+                    "num_workers=2", "compute_dtype=float32",
+                    "compilation_cache_dir=", "device_prefetch=0",
+                ],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, cwd=REPO, env=env,
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        assert "[distributed] process" in out, out[-2000:]
+        assert "8 global devices" in out, out[-2000:]
+    # lead-only storage: exactly one writer produced the run artifacts
+    assert (run_dir / "snapshot.npz").exists()
+    assert (run_dir / "train.csv").exists()

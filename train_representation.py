@@ -28,6 +28,50 @@ def _honor_jax_platforms_env():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
+def _maybe_init_distributed(cfg):
+    """Join a multi-process cluster BEFORE any backend use.
+
+    The reference's parallelism is single-process DataParallel
+    (``/root/reference/r3m/train_representation.py:30``); pod-scale runs
+    here are multi-process SPMD, which requires `jax.distributed.initialize`
+    ahead of the first device query. `distributed_init: auto` (default)
+    initializes only when a launcher provides coordination env
+    (JAX_COORDINATOR_ADDRESS, or a Cloud-TPU/Slurm/MPI environment JAX
+    auto-detects); `true` forces it; `false` never.
+    """
+    mode = str(cfg.get("distributed_init", "auto")).lower()
+    if mode in ("false", "0", "none", "no"):
+        return
+    env = os.environ
+    explicit = env.get("JAX_COORDINATOR_ADDRESS")
+    # a single-worker TPU_WORKER_HOSTNAMES (e.g. "localhost" on a one-host
+    # slice or tunnel) is NOT a pod launch — require >1 worker for auto
+    tpu_workers = [
+        h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",") if h.strip()
+    ]
+    if mode == "auto" and not (
+        explicit or len(tpu_workers) > 1 or env.get("SLURM_JOB_ID")
+        or env.get("OMPI_COMM_WORLD_SIZE")
+    ):
+        return
+    import jax
+
+    if explicit and env.get("JAX_NUM_PROCESSES"):
+        # explicit trio for bespoke launchers (and the integration test);
+        # cloud/Slurm/MPI environments auto-detect all three below
+        jax.distributed.initialize(
+            coordinator_address=explicit,
+            num_processes=int(env["JAX_NUM_PROCESSES"]),
+            process_id=int(env["JAX_PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
+    print(
+        f"[distributed] process {jax.process_index()}/{jax.process_count()} "
+        f"({len(jax.local_devices())} local / {len(jax.devices())} global devices)"
+    )
+
+
 def _install_sigterm(ws):
     """Graceful preemption: SIGTERM finishes the current step, writes a
     final snapshot, and exits 0 — auto-resume continues on requeue. The
@@ -61,6 +105,7 @@ def main(argv=None):
             retries = int(a.split("=", 1)[1])
             argv.remove(a)
     cfg = load_config(cfg_path, overrides=argv)
+    _maybe_init_distributed(cfg)
 
     attempt = 0
     while True:
