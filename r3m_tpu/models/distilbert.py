@@ -189,6 +189,26 @@ def distilbert_config_from_state(sd, n_heads: int = 12) -> DistilBertConfig:
     )
 
 
+def config_from_params(params: Pytree, n_heads: int = 12) -> DistilBertConfig:
+    """Infer the architecture of a CONVERTED pytree (see distilbert_init).
+
+    Same shape-inference as `distilbert_config_from_state` but over the
+    framework's pytree layout; `n_heads` is not shape-recoverable (default:
+    distilbert-base's 12 — prefer the `bert_config` snapshot metadata
+    written by prepare_language when present)."""
+    vocab, dim = np.shape(params["embeddings"]["word"])
+    max_pos = np.shape(params["embeddings"]["pos"])[0]
+    hidden = np.shape(params["layers"][0]["lin1"]["w"])[1]
+    return DistilBertConfig(
+        vocab_size=int(vocab),
+        dim=int(dim),
+        n_layers=len(params["layers"]),
+        n_heads=n_heads,
+        hidden_dim=int(hidden),
+        max_position_embeddings=int(max_pos),
+    )
+
+
 def convert_distilbert(sd, cfg: DistilBertConfig = BASE) -> Pytree:
     """HF DistilBertModel state dict -> pytree (torch [out,in] -> [in,out])."""
 

@@ -71,6 +71,10 @@ class R3MConfig:
     # instead of storing post-activation copies (resnet_apply docstring);
     # measured lever, see BASELINE.md. ResNet backbones only.
     remat: str = "none"
+    # sentence-embedding width the reward head consumes; 768 for the
+    # reference's distilbert-base (models_language.py:21) — override only
+    # when training against a custom-geometry DistilBERT snapshot
+    lang_dim: int = LANG_DIM
 
     @property
     def out_dim(self) -> int:
@@ -112,7 +116,7 @@ def r3m_init(key: jax.Array, cfg: R3MConfig) -> Dict[str, Pytree]:
     params: Dict[str, Pytree] = {"convnet": enc_params}
     if cfg.langweight > 0.0:
         params["lang_rew"] = language_reward_init(
-            k_rew, cfg.out_dim, cfg.hidden_dim, LANG_DIM
+            k_rew, cfg.out_dim, cfg.hidden_dim, cfg.lang_dim
         )
     return {"params": params, "batch_stats": batch_stats}
 

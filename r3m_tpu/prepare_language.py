@@ -23,13 +23,28 @@ def prepare(model_name: str, out_dir: str) -> None:
     from transformers import AutoModel, AutoTokenizer
 
     from r3m_tpu.checkpoint import save_snapshot
-    from r3m_tpu.models.distilbert import convert_distilbert
+    from r3m_tpu.models.distilbert import (
+        convert_distilbert,
+        distilbert_config_from_state,
+    )
 
     os.makedirs(out_dir, exist_ok=True)
     model = AutoModel.from_pretrained(model_name)
-    params = convert_distilbert(model.state_dict())
+    sd = model.state_dict()
+    # infer the architecture from the weights rather than assuming the
+    # distilbert-base geometry — any DistilBertModel checkpoint converts;
+    # n_heads isn't shape-recoverable, so take it from the HF config and
+    # record the full architecture in the snapshot metadata for the loader
+    import dataclasses
+
+    cfg = distilbert_config_from_state(
+        sd, n_heads=int(getattr(model.config, "n_heads", 12))
+    )
+    params = convert_distilbert(sd, cfg)
     npz = os.path.join(out_dir, "distilbert.npz")
-    save_snapshot(npz, params, {"model": model_name})
+    save_snapshot(
+        npz, params, {"model": model_name, "bert_config": dataclasses.asdict(cfg)}
+    )
 
     tok = AutoTokenizer.from_pretrained(model_name)
     vocab_path = os.path.join(out_dir, "vocab.txt")

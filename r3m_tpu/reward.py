@@ -115,11 +115,13 @@ class R3MRewardModel:
         cfg = r3m_config_from_meta(meta, compute_dtype="float32")
         if lang_max_len is None:
             lang_max_len = int(meta.get("lang_max_len", 32))
+        bert_params, bert_cfg = load_bert_params(bert_weights)
         return cls(
             cfg,
             params=tree["params"],
             batch_stats=tree.get("batch_stats", {}),
-            bert_params=load_bert_params(bert_weights),
+            bert_params=bert_params,
+            bert_cfg=bert_cfg,
             tokenizer=WordPieceTokenizer(vocab_file=vocab_path),
             lang_max_len=lang_max_len,
             pad_mode=pad_mode,
@@ -156,7 +158,7 @@ class R3MRewardModel:
             )
         bert_cfg = None
         if bert_weights is not None:
-            bert_params = load_bert_params(bert_weights)
+            bert_params, bert_cfg = load_bert_params(bert_weights)
         elif bundle.get("lang_enc") is not None:
             bert_params = bundle["lang_enc"]["params"]
             bert_cfg = bundle["lang_enc"]["cfg"]

@@ -91,6 +91,7 @@ def _encode_and_loss(
     perms: Dict[str, jax.Array],
     train: bool,
     prenormalized: bool = False,
+    bert_cfg=None,
 ):
     """Shared forward: returns (full_loss, (metrics, new_batch_stats))."""
     images = batch["images"]  # [B, 5, H, W, 3]; [0,255] unless prenormalized
@@ -105,9 +106,14 @@ def _encode_and_loss(
     lang_mask = None
     if cfg.langweight > 0:
         # Frozen BERT (reference wraps it in no_grad, models_language.py:29).
+        from r3m_tpu.models.distilbert import BASE
+
         lang_emb = jax.lax.stop_gradient(
             sentence_embedding(
-                bert_params, batch["token_ids"], batch["attn_mask"]
+                bert_params,
+                batch["token_ids"],
+                batch["attn_mask"],
+                bert_cfg or BASE,
             )
         )
         lang_mask = batch["lang_mask"].astype(jnp.float32)
@@ -142,6 +148,7 @@ def make_train_step(
     donate: bool = True,
     doaug: str = "none",
     grad_accum: int = 1,
+    bert_cfg=None,
 ):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
@@ -221,7 +228,8 @@ def make_train_step(
 
                 def loss_fn(params):
                     loss, metrics, new_stats = _encode_and_loss(
-                        cfg, params, stats, bert, mb, perms, True, prenorm
+                        cfg, params, stats, bert, mb, perms, True, prenorm,
+                        bert_cfg,
                     )
                     return loss, (metrics, new_stats)
 
@@ -244,7 +252,8 @@ def make_train_step(
 
             def loss_fn(params):
                 loss, metrics, new_stats = _encode_and_loss(
-                    cfg, params, state.batch_stats, bert, batch, perms, True, prenorm
+                    cfg, params, state.batch_stats, bert, batch, perms, True,
+                    prenorm, bert_cfg,
                 )
                 return loss, (metrics, new_stats)
 
@@ -296,7 +305,8 @@ def _state_structure():
 
 
 def make_eval_step(
-    cfg: R3MConfig, bert_params: Optional[Pytree] = None, mesh=None
+    cfg: R3MConfig, bert_params: Optional[Pytree] = None, mesh=None,
+    bert_cfg=None,
 ):
     """Eval step: same losses/metrics, BN in eval mode, no optimizer update.
 
@@ -314,7 +324,8 @@ def make_eval_step(
         bs = batch["images"].shape[0]
         perms = draw_permutations(key, bs, cfg.num_negatives)
         loss, metrics, _ = _encode_and_loss(
-            cfg, state.params, state.batch_stats, bert, batch, perms, False
+            cfg, state.params, state.batch_stats, bert, batch, perms, False,
+            bert_cfg=bert_cfg,
         )
         return metrics
 

@@ -50,16 +50,29 @@ from r3m_tpu.utils.misc import Every, Timer, Until, set_seed_everywhere
 
 
 def load_bert_params(path: str):
-    """Load frozen DistilBERT weights: .npz snapshot or HF torch state dict."""
+    """Load frozen DistilBERT weights: .npz snapshot or HF torch state dict.
+
+    Returns ``(params, DistilBertConfig)``. The architecture comes from the
+    snapshot's ``bert_config`` metadata (written by prepare_language) when
+    present, else is inferred from the weight shapes (n_heads falls back to
+    distilbert-base's 12 — the only field shapes can't determine)."""
+    from r3m_tpu.models.distilbert import (
+        DistilBertConfig,
+        config_from_params,
+        convert_distilbert,
+        distilbert_config_from_state,
+    )
+
     if path.endswith(".npz"):
-        tree, _ = load_snapshot(path)
-        return tree
+        tree, meta = load_snapshot(path)
+        if meta.get("bert_config"):
+            return tree, DistilBertConfig(**meta["bert_config"])
+        return tree, config_from_params(tree)
     import torch
 
-    from r3m_tpu.models.distilbert import convert_distilbert
-
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return convert_distilbert(sd)
+    cfg = distilbert_config_from_state(sd)
+    return convert_distilbert(sd, cfg), cfg
 
 
 class Workspace:
@@ -98,15 +111,23 @@ class Workspace:
 
         # ---- language stack ----------------------------------------------
         self.bert_params = None
+        self.bert_cfg = None
         self.tokenizer = None
         if self.model_cfg.langweight > 0:
             if not cfg.get("bert_weights"):
                 raise ValueError("agent.langweight > 0 requires cfg.bert_weights")
+            bert_params, self.bert_cfg = load_bert_params(cfg["bert_weights"])
             # device-coerce ONCE so the train and eval steps share the same
             # frozen-BERT buffers instead of each making a copy
-            self.bert_params = jax.tree_util.tree_map(
-                jnp.asarray, load_bert_params(cfg["bert_weights"])
-            )
+            self.bert_params = jax.tree_util.tree_map(jnp.asarray, bert_params)
+            if self.bert_cfg.dim != self.model_cfg.lang_dim:
+                # custom-geometry DistilBERT: size the reward head's
+                # sentence-embedding input to the loaded encoder
+                import dataclasses
+
+                self.model_cfg = dataclasses.replace(
+                    self.model_cfg, lang_dim=self.bert_cfg.dim
+                )
             from r3m_tpu.text.tokenizer import WordPieceTokenizer
 
             self.tokenizer = WordPieceTokenizer(vocab_file=cfg["vocab_path"])
@@ -167,9 +188,11 @@ class Workspace:
         self.train_step = make_train_step(
             self.model_cfg, bert_params=self.bert_params, mesh=self.mesh,
             doaug=doaug, grad_accum=int(cfg.get("grad_accum", 1) or 1),
+            bert_cfg=self.bert_cfg,
         )
         self.eval_step = make_eval_step(
-            self.model_cfg, bert_params=self.bert_params, mesh=self.mesh
+            self.model_cfg, bert_params=self.bert_params, mesh=self.mesh,
+            bert_cfg=self.bert_cfg,
         )
         self.state = create_train_state(self.model_cfg, self.key)
         if self.mesh is not None:
