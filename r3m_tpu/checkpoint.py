@@ -114,6 +114,93 @@ def load_snapshot(path: str) -> Tuple[Pytree, Dict]:
 
 
 # ---------------------------------------------------------------------------
+# Packed-BN layout boundary
+# ---------------------------------------------------------------------------
+#
+# The trainer holds ResNet BN vectors packed into contiguous per-role arrays
+# (r3m_tpu/models/resnet.py bn_layout — a measured copy-storm fix), but
+# snapshots are ALWAYS written in the canonical torchvision-named layout so
+# the npz format, converters, serving, and parity tooling never see the
+# runtime layout. These helpers translate at the save/load boundary.
+
+
+def _map_params_like(node, fn):
+    """Apply `fn` to every params-shaped subtree (a dict with a "convnet"
+    key) inside a pytree — reaches the Adam moments inside opt_state, both
+    live (namedtuples) and as loaded from npz (plain lists)."""
+    if isinstance(node, dict):
+        if "convnet" in node:
+            return fn(node)
+        return {k: _map_params_like(v, fn) for k, v in node.items()}
+    if isinstance(node, tuple) and hasattr(node, "_fields"):  # namedtuple
+        return type(node)(*(_map_params_like(v, fn) for v in node))
+    if isinstance(node, (list, tuple)):
+        return type(node)(_map_params_like(v, fn) for v in node)
+    return node
+
+
+def canonicalize_train_tree(tree: Dict) -> Dict:
+    """Packed-BN runtime layout -> canonical layout (no-op when canonical)."""
+    from r3m_tpu.models.resnet import (
+        infer_resnet_size,
+        is_packed,
+        unpack_bn_params,
+        unpack_bn_state,
+    )
+
+    conv = tree.get("params", {}).get("convnet")
+    if not is_packed(conv):
+        return tree
+    size = infer_resnet_size(conv)
+
+    def fix(params_like):
+        if is_packed(params_like.get("convnet")):
+            params_like = dict(params_like)
+            params_like["convnet"] = unpack_bn_params(
+                params_like["convnet"], size
+            )
+        return params_like
+
+    tree = dict(tree)
+    tree["params"] = fix(tree["params"])
+    tree["batch_stats"] = unpack_bn_state(tree["batch_stats"], size)
+    if "opt_state" in tree:
+        tree["opt_state"] = _map_params_like(tree["opt_state"], fix)
+    return tree
+
+
+def _packify_train_tree(tree: Dict, state) -> Dict:
+    """Canonical loaded tree -> packed layout iff the runtime `state` is
+    packed (resume path). Already-packed trees pass through."""
+    from r3m_tpu.models.resnet import (
+        infer_resnet_size,
+        is_packed,
+        pack_bn_params,
+        pack_bn_state,
+    )
+
+    if not is_packed(state.params.get("convnet")):
+        return tree
+    conv = tree["params"].get("convnet")
+    if conv is None or is_packed(conv):
+        return tree
+    size = infer_resnet_size(conv)
+
+    def fix(params_like):
+        if not is_packed(params_like.get("convnet", {"bn_packed": 0})):
+            params_like = dict(params_like)
+            params_like["convnet"] = pack_bn_params(params_like["convnet"], size)
+        return params_like
+
+    tree = dict(tree)
+    tree["params"] = fix(tree["params"])
+    tree["batch_stats"] = pack_bn_state(tree["batch_stats"], size)
+    if "opt_state" in tree:
+        tree["opt_state"] = _map_params_like(tree["opt_state"], fix)
+    return tree
+
+
+# ---------------------------------------------------------------------------
 # Train-state snapshots (rolling + per-step, reference layout)
 # ---------------------------------------------------------------------------
 
@@ -136,12 +223,14 @@ def save_train_snapshot(
     from r3m_tpu.training.trainer import TrainState  # noqa: F401 (doc link)
 
     step = int(np.asarray(state.step))
-    tree = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "key": state.key,
-    }
+    tree = canonicalize_train_tree(
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "key": state.key,
+        }
+    )
     meta = {"global_step": step}
     if cfg is not None:
         meta["config"] = dataclasses.asdict(cfg)
@@ -270,6 +359,7 @@ def load_train_snapshot(path: str, state):
 
     tree, meta = load_snapshot(path)
     step = int(meta.get("global_step", 0))
+    tree = _packify_train_tree(tree, state)
 
     return TrainState(
         params=restore_like(tree["params"], state.params),
@@ -353,12 +443,24 @@ def import_bundle_to_state(bundle: Dict, state):
     torch.load + conversion)."""
     import jax.numpy as jnp
 
+    from r3m_tpu.models.resnet import (
+        infer_resnet_size,
+        is_packed,
+        pack_bn_params,
+        pack_bn_state,
+    )
+
     has_lang = "lang_rew" in state.params
 
+    conv_params = bundle["convnet"]["params"]
+    conv_stats = bundle["convnet"]["batch_stats"]
+    if is_packed(state.params["convnet"]) and not is_packed(conv_params):
+        size = infer_resnet_size(conv_params)
+        conv_params = pack_bn_params(conv_params, size)
+        conv_stats = pack_bn_state(conv_stats, size)
+
     params = dict(state.params)
-    params["convnet"] = restore_like(
-        bundle["convnet"]["params"], state.params["convnet"]
-    )
+    params["convnet"] = restore_like(conv_params, state.params["convnet"])
     if has_lang:
         if bundle.get("lang_rew") is None:
             raise ValueError("state expects lang_rew but torch snapshot has none")
@@ -367,9 +469,7 @@ def import_bundle_to_state(bundle: Dict, state):
         )
     return state._replace(
         params=params,
-        batch_stats=restore_like(
-            bundle["convnet"]["batch_stats"], state.batch_stats
-        ),
+        batch_stats=restore_like(conv_stats, state.batch_stats),
         step=jnp.asarray(bundle.get("global_step", 0), jnp.int32),
     )
 
@@ -386,8 +486,11 @@ def export_torch_snapshot(path: str, state, size: int, data_parallel: bool = Tru
 
     from r3m_tpu.convert import export_r3m_torch_state
 
-    params = jax.tree_util.tree_map(np.asarray, state.params)
-    stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    tree = canonicalize_train_tree(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    params = jax.tree_util.tree_map(np.asarray, tree["params"])
+    stats = jax.tree_util.tree_map(np.asarray, tree["batch_stats"])
     sd = export_r3m_torch_state(params, stats, size, data_parallel=data_parallel)
     payload = {
         # copy: jax-backed buffers are non-writable, from_numpy would warn

@@ -75,6 +75,12 @@ class R3MConfig:
     # reference's distilbert-base (models_language.py:21) — override only
     # when training against a custom-geometry DistilBERT snapshot
     lang_dim: int = LANG_DIM
+    # Training-time BN parameter layout: pack the ~100 per-layer [C] BN
+    # vectors (plus their Adam moments) into contiguous per-role arrays so
+    # the jitted step streams a few ~100 KB buffers instead of thousands of
+    # ~1 KB ones (measured copy storm, BASELINE.md). Identical math (results
+    # agree to f32 rounding); snapshots stay canonical. ResNet only.
+    packed_bn: bool = True
 
     @property
     def out_dim(self) -> int:

@@ -145,6 +145,69 @@ def max_pool_3x3s2(x):
     )
 
 
+def _pool_views(xp, oh, ow):
+    """The 9 stride-2 shifted views of the padded input, window scan order."""
+    return [
+        xp[:, dh : dh + 2 * oh - 1 : 2, dw : dw + 2 * ow - 1 : 2, :]
+        for dh in range(3)
+        for dw in range(3)
+    ]
+
+
+def max_pool_3x3s2_amax(x):
+    """`max_pool_3x3s2` with an argmax-saving backward.
+
+    Same forward result; the VJP saves the int8 window-offset argmax
+    (first-max tiebreak, row-major window order — torch MaxPool2d and XLA
+    select-and-scatter semantics) instead of letting autodiff re-derive the
+    max locations from `x`. The backward then becomes 9 masked strided adds
+    that read only the [OH,OW] gradient + int8 index maps — cheaper in HBM
+    bytes than select-and-scatter's two re-reads of the [H,W] input
+    (BASELINE.md round-2 audit: select-and-scatter at 1.86x its roofline
+    bound, 1.9% of the resnet50 step).
+    """
+    return _amax_pool(x, x.shape, jnp.dtype(x.dtype).name)
+
+
+def _amax_pool_primal(x, in_shape, dtype_name):
+    return max_pool_3x3s2(x)
+
+
+_amax_pool = jax.custom_vjp(_amax_pool_primal, nondiff_argnums=(1, 2))
+
+
+def _amax_pool_fwd(x, in_shape, dtype_name):
+    n, h, w, c = in_shape
+    oh, ow = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg_inf)
+    views = _pool_views(xp, oh, ow)
+    y = views[0]
+    for v in views[1:]:
+        y = jnp.maximum(y, v)
+    idx = jnp.full(y.shape, 8, jnp.int8)
+    for k in range(7, -1, -1):  # downward so ties resolve to the FIRST max
+        idx = jnp.where(views[k] == y, jnp.int8(k), idx)
+    return y, idx
+
+
+def _amax_pool_bwd(in_shape, dtype_name, idx, g):
+    n, h, w, c = in_shape
+    oh, ow = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    g = g.astype(jnp.float32)
+    dxp = jnp.zeros((n, h + 2, w + 2, c), jnp.float32)
+    for k in range(9):
+        dh, dw = divmod(k, 3)
+        contrib = jnp.where(idx == k, g, 0.0)
+        dxp = dxp.at[
+            :, dh : dh + 2 * oh - 1 : 2, dw : dw + 2 * ow - 1 : 2, :
+        ].add(contrib)
+    return (dxp[:, 1 : h + 1, 1 : w + 1, :].astype(dtype_name),)
+
+
+_amax_pool.defvjp(_amax_pool_fwd, _amax_pool_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------
@@ -289,6 +352,13 @@ def resnet_apply(
     (which recomputed the convs themselves and lost 18%).
     """
     spec = RESNET_SPECS[size]
+    # Packed-BN training layout: rebuild per-layer views as static slices of
+    # the packed vectors (fused into each BN's normalize by XLA; same math,
+    # results agree with the canonical layout to f32 rounding — bn_layout).
+    packed_in = is_packed(params)
+    if packed_in:
+        params = unpack_bn_params(params, size)
+        state = unpack_bn_state(state, size)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 
@@ -330,11 +400,176 @@ def resnet_apply(
 
     # Adaptive average pool to 1x1 + flatten == mean over spatial dims.
     feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+    if packed_in:
+        new_state = pack_bn_state(new_state, size)
     return feats, new_state
 
 
 def resnet_out_dim(size: int) -> int:
     return RESNET_SPECS[size].out_dim
+
+
+# ---------------------------------------------------------------------------
+# Packed BatchNorm layout (training-time parameter layout)
+# ---------------------------------------------------------------------------
+#
+# A resnet50 carries 53 BatchNorm layers = 106 trainable [C] vectors + 106
+# running-stat vectors + (under Adam) 212 moment vectors — ~400 sub-KB
+# buffers crossing the jitted train step every iteration. XLA's
+# memory-space assignment streams each one to VMEM individually (~3.5k
+# async ~1 KB copies/step, 1.6-3.5% of step time on v5e — BASELINE.md
+# round-2 audit). Packing every BN vector into ONE contiguous [total_C]
+# array per role (scale/bias/mean/var) turns those into a handful of
+# ~100 KB buffers; inside the program each layer reads a static slice,
+# which XLA fuses into the BN normalize same as before. The math is
+# identical; compiled fusion boundaries differ, so results agree to f32
+# rounding (~1e-7 rel — same class as any XLA program restructuring).
+#
+# The packed layout exists only inside the training state; checkpoints,
+# converters, and the serving path all keep the canonical torchvision-
+# named tree (`r3m_tpu/checkpoint.py` packs/unpacks at the boundary).
+
+PACKED_KEY = "bn_packed"
+
+
+def bn_layout(size: int):
+    """Ordered (path, channels, offset) table for the packed-BN layout.
+
+    `path` indexes BOTH the params tree (leaf {"scale","bias"}) and the
+    batch-stats tree (leaf {"mean","var"}) — e.g. ("layer1", 0, "bn1") or
+    ("layer2", 0, "downsample", "bn"). Returns (entries, total_channels).
+    """
+    spec = RESNET_SPECS[size]
+    entries = [(("bn1",), spec.width)]
+    cin = spec.width
+    for stage, num_blocks in enumerate(spec.stage_sizes):
+        planes = spec.width * (2**stage)
+        cout = planes * spec.expansion
+        for b in range(num_blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            base = (f"layer{stage + 1}", b)
+            entries.append((base + ("bn1",), planes))
+            entries.append((base + ("bn2",), planes))
+            if spec.block == "bottleneck":
+                entries.append((base + ("bn3",), cout))
+            if stride != 1 or cin != cout:
+                entries.append((base + ("downsample", "bn"), cout))
+            cin = cout
+    offset = 0
+    out = []
+    for path, c in entries:
+        out.append((path, c, offset))
+        offset += c
+    return out, offset
+
+
+def infer_resnet_size(conv_params) -> int:
+    """Recover the resnet size from a (packed or canonical) params tree."""
+    block0 = conv_params["layer1"][0]
+    if "conv3" in block0:
+        return 50
+    return 34 if len(conv_params["layer1"]) == 3 else 18
+
+
+def _tree_get(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _tree_set(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        if isinstance(p, int):
+            node = node[p]
+        else:
+            node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _strip_bn(node):
+    """Copy of a params tree with every BN leaf-dict removed."""
+    if isinstance(node, list):
+        return [_strip_bn(v) for v in node]
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            if k.startswith("bn"):
+                continue
+            if k == "downsample":
+                ds = {dk: _strip_bn(dv) for dk, dv in v.items() if dk != "bn"}
+                if ds:
+                    out[k] = ds
+                continue
+            out[k] = _strip_bn(v)
+        return out
+    return node
+
+
+def _backend_of(leaf):
+    # numpy in -> numpy out: snapshot writers run off-thread and must not
+    # bounce host trees through device HBM just to reshuffle a layout
+    return np if isinstance(leaf, np.ndarray) else jnp
+
+
+def pack_bn_params(conv_params, size: int):
+    """Canonical conv-params tree -> packed (BN vectors concatenated)."""
+    entries, _ = bn_layout(size)
+    xp = _backend_of(_tree_get(conv_params, entries[0][0])["scale"])
+    packed = _strip_bn(conv_params)
+    packed[PACKED_KEY] = {
+        "scale": xp.concatenate(
+            [_tree_get(conv_params, p)["scale"] for p, _, _ in entries]
+        ),
+        "bias": xp.concatenate(
+            [_tree_get(conv_params, p)["bias"] for p, _, _ in entries]
+        ),
+    }
+    return packed
+
+
+def unpack_bn_params(packed, size: int):
+    """Packed conv-params tree -> canonical (per-layer BN dicts)."""
+    entries, _ = bn_layout(size)
+    scale, bias = packed[PACKED_KEY]["scale"], packed[PACKED_KEY]["bias"]
+    out = _strip_bn({k: v for k, v in packed.items() if k != PACKED_KEY})
+    for path, c, o in entries:
+        _tree_set(out, path, {"scale": scale[o : o + c], "bias": bias[o : o + c]})
+    return out
+
+
+def pack_bn_state(stats, size: int):
+    """Canonical batch-stats tree -> {"bn_packed": {"mean", "var"}}."""
+    entries, _ = bn_layout(size)
+    xp = _backend_of(_tree_get(stats, entries[0][0])["mean"])
+    return {
+        PACKED_KEY: {
+            "mean": xp.concatenate(
+                [_tree_get(stats, p)["mean"] for p, _, _ in entries]
+            ),
+            "var": xp.concatenate(
+                [_tree_get(stats, p)["var"] for p, _, _ in entries]
+            ),
+        }
+    }
+
+
+def unpack_bn_state(packed_stats, size: int):
+    """Packed batch-stats -> canonical nested tree."""
+    entries, _ = bn_layout(size)
+    mean, var = packed_stats[PACKED_KEY]["mean"], packed_stats[PACKED_KEY]["var"]
+    out: Dict[str, Any] = {}
+    spec = RESNET_SPECS[size]
+    for stage, num_blocks in enumerate(spec.stage_sizes):
+        out[f"layer{stage + 1}"] = [{} for _ in range(num_blocks)]
+    for path, c, o in entries:
+        _tree_set(out, path, {"mean": mean[o : o + c], "var": var[o : o + c]})
+    return out
+
+
+def is_packed(conv_params) -> bool:
+    return isinstance(conv_params, dict) and PACKED_KEY in conv_params
 
 
 # ---------------------------------------------------------------------------

@@ -72,11 +72,21 @@ def create_train_state(
     k_init, k_state = jax.random.split(key)
     if model_state is None:
         model_state = r3m_init(k_init, cfg)
+    params = model_state["params"]
+    batch_stats = model_state["batch_stats"]
+    if cfg.packed_bn and cfg.size != 0:
+        # pack BEFORE tx.init so the Adam moments are packed too
+        from r3m_tpu.models.resnet import is_packed, pack_bn_params, pack_bn_state
+
+        if not is_packed(params["convnet"]):
+            params = dict(params)
+            params["convnet"] = pack_bn_params(params["convnet"], cfg.size)
+            batch_stats = pack_bn_state(batch_stats, cfg.size)
     tx = make_optimizer(cfg)
     return TrainState(
-        params=model_state["params"],
-        batch_stats=model_state["batch_stats"],
-        opt_state=tx.init(model_state["params"]),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
         key=k_state,
     )

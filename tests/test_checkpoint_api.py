@@ -68,6 +68,54 @@ def test_train_state_snapshot_resume(tmp_path):
     )
 
 
+def test_snapshot_on_disk_is_canonical_and_cross_layout(tmp_path):
+    """Snapshots written from a packed-BN state must be canonical on disk
+    (torchvision-named BN leaves, no runtime layout) and must load into
+    either runtime layout; a canonical-era snapshot must load into a packed
+    state (forward-compat for old checkpoints)."""
+    from r3m_tpu.models.resnet import is_packed
+
+    cfg_packed = R3MConfig(size=18, tcnweight=1.0, langweight=0.0, image_size=32)
+    cfg_canon = R3MConfig(
+        size=18, tcnweight=1.0, langweight=0.0, image_size=32, packed_bn=False
+    )
+    state_p = create_train_state(cfg_packed, jax.random.PRNGKey(0))
+    state_c = create_train_state(cfg_canon, jax.random.PRNGKey(0))
+    assert is_packed(state_p.params["convnet"])
+    assert not is_packed(state_c.params["convnet"])
+
+    snap = save_train_snapshot(
+        str(tmp_path), state_p, cfg_packed, keep_step_copy=False
+    )
+    raw, _ = load_snapshot(snap)
+    assert "bn_packed" not in raw["params"]["convnet"]
+    assert "bn1" in raw["params"]["convnet"]  # canonical naming
+    assert "bn1" in raw["batch_stats"]
+
+    # packed snapshot -> canonical runtime, and back into packed runtime
+    restored_c = load_train_snapshot(snap, state_c)
+    restored_p = load_train_snapshot(snap, state_p)
+    assert not is_packed(restored_c.params["convnet"])
+    assert is_packed(restored_p.params["convnet"])
+    np.testing.assert_array_equal(
+        np.asarray(restored_p.params["convnet"]["bn_packed"]["scale"]),
+        np.asarray(state_p.params["convnet"]["bn_packed"]["scale"]),
+    )
+
+    # canonical-era snapshot (written from an unpacked state) -> packed runtime
+    (tmp_path / "canon").mkdir()
+    snap_c = save_train_snapshot(
+        str(tmp_path / "canon"), state_c, cfg_canon, keep_step_copy=False
+    )
+    restored_pc = load_train_snapshot(snap_c, state_p)
+    assert is_packed(restored_pc.params["convnet"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored_pc.params),
+        jax.tree_util.tree_leaves(state_p.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.fixture(scope="module")
 def fake_reference_artifacts(tmp_path_factory):
     """A reference-layout snapshot: torch resnet18 under module.convnet.*"""
@@ -163,7 +211,11 @@ def test_import_torch_snapshot_to_state(fake_reference_artifacts):
     got = np.asarray(state2.params["convnet"]["conv1"]["w"])
     want = tm.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_allclose(got, want, rtol=1e-6)
-    bn_mean = np.asarray(state2.batch_stats["bn1"]["mean"])
+    # runtime batch_stats use the packed-BN layout; compare canonically
+    from r3m_tpu.models.resnet import unpack_bn_state
+
+    stats = unpack_bn_state(state2.batch_stats, 18)
+    bn_mean = np.asarray(stats["bn1"]["mean"])
     np.testing.assert_allclose(
         bn_mean, tm.state_dict()["bn1.running_mean"].numpy(), rtol=1e-6
     )

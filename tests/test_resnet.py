@@ -188,3 +188,93 @@ def test_resnet_apply_rejects_unknown_remat():
     x = jnp.zeros((1, 32, 32, 3))
     with pytest.raises(ValueError, match="remat"):
         resnet_apply(params, state, x, size=18, train=True, remat="blocks")
+
+
+@pytest.mark.parametrize("size", [18, 34, 50])
+def test_packed_bn_roundtrip(size):
+    """pack -> unpack is the identity on both params and batch stats."""
+    from r3m_tpu.models.resnet import (
+        infer_resnet_size,
+        is_packed,
+        pack_bn_params,
+        pack_bn_state,
+        unpack_bn_params,
+        unpack_bn_state,
+    )
+
+    params, state = resnet_init(jax.random.PRNGKey(1), size)
+    # non-trivial values so mixed-up offsets can't pass
+    params = jax.tree_util.tree_map(
+        lambda x: x + jax.random.normal(jax.random.PRNGKey(2), x.shape), params
+    )
+    packed_p = pack_bn_params(params, size)
+    packed_s = pack_bn_state(state, size)
+    assert is_packed(packed_p) and not is_packed(params)
+    assert infer_resnet_size(packed_p) == size
+    back_p = unpack_bn_params(packed_p, size)
+    back_s = unpack_bn_state(packed_s, size)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(back_p),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(state),
+        jax.tree_util.tree_leaves_with_path(back_s),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_bn_apply_matches_canonical(rng):
+    """resnet_apply on the packed layout == canonical layout (same program
+    math; fusion boundaries may reorder f32 reductions — tight rtol)."""
+    from r3m_tpu.models.resnet import pack_bn_params, pack_bn_state, unpack_bn_state
+
+    size = 18
+    params, state = resnet_init(jax.random.PRNGKey(0), size)
+    x = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)).astype(np.float32))
+
+    ref, ref_ns = resnet_apply(params, state, x, size=size, train=True)
+    out, out_ns = resnet_apply(
+        pack_bn_params(params, size), pack_bn_state(state, size), x,
+        size=size, train=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    out_ns = unpack_bn_state(out_ns, size)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_ns), jax.tree_util.tree_leaves(out_ns)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_amax_pool_grads_match_reduce_window_and_torch(rng):
+    """The argmax-saving maxpool VJP (kept as a measured-negative lever,
+    BASELINE.md round 3) must match XLA select-and-scatter gradients AND
+    torch's first-max tie semantics on tie-heavy input."""
+    from r3m_tpu.models.resnet import max_pool_3x3s2_amax
+
+    # quantized values force ties within windows
+    x = (rng.integers(0, 3, size=(2, 4, 13, 13)) / 2.0).astype(np.float32)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+    def loss_rw(v):
+        return jnp.sum(max_pool_3x3s2(v) ** 2)
+
+    def loss_am(v):
+        return jnp.sum(max_pool_3x3s2_amax(v) ** 2)
+
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_3x3s2_amax(xj)), np.asarray(max_pool_3x3s2(xj))
+    )
+    g_rw = np.asarray(jax.grad(loss_rw)(xj))
+    g_am = np.asarray(jax.grad(loss_am)(xj))
+    np.testing.assert_array_equal(g_am, g_rw)
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    yt = torch.nn.functional.max_pool2d(xt, 3, stride=2, padding=1)
+    (yt**2).sum().backward()
+    np.testing.assert_allclose(
+        np.transpose(g_am, (0, 3, 1, 2)), xt.grad.numpy(), rtol=1e-6, atol=1e-6
+    )
