@@ -144,21 +144,20 @@ def convert_r3m_torch_state(
         # reference size==0 branch: convnet is an HF ViTModel
         # (models_r3m.py:52-56); no BN state, architecture inferred from
         # parameter shapes
-        from r3m_tpu.models.vit import B32, convert_vit, vit_config_from_state
+        from r3m_tpu.models.vit import (
+            convert_vit,
+            require_b32_geometry,
+            vit_config_from_state,
+        )
 
         enc_sd = {
             k[len("convnet."):]: v for k, v in sd.items() if k.startswith("convnet.")
         }
         vcfg = vit_config_from_state(enc_sd)
-        geometry = (vcfg.patch_size, vcfg.dim, vcfg.n_layers, vcfg.hidden_dim)
-        if geometry != (B32.patch_size, B32.dim, B32.n_layers, B32.hidden_dim):
-            # the serving path (r3m_embed) applies the fixed ViT-B/32
-            # geometry, so converting anything else would only defer the
-            # failure to an opaque shape error at forward time
-            raise ValueError(
-                "size==0 checkpoints must be ViT-B/32 (the reference's only "
-                f"ViT, models_r3m.py:52-56); found patch/dim/layers/ffn = {geometry}"
-            )
+        # converting anything but B/32 would only defer the failure to an
+        # opaque shape error at forward time (guard lives in vit.py, next
+        # to the n_heads heuristic it protects)
+        require_b32_geometry(vcfg)
         params, state = convert_vit(enc_sd, vcfg), {}
         size = 0
     else:

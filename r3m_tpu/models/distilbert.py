@@ -161,6 +161,21 @@ def sentence_embedding(
 # ---------------------------------------------------------------------------
 
 
+def _normalize_hf_state(sd):
+    """Accept DistilBertFor*-head saves: the bare encoder lives under a
+    "distilbert." prefix there — strip it so the plain DistilBertModel
+    layout applies everywhere downstream."""
+    if "embeddings.word_embeddings.weight" not in sd and any(
+        k.startswith("distilbert.") for k in sd
+    ):
+        return {
+            k[len("distilbert."):]: v
+            for k, v in sd.items()
+            if k.startswith("distilbert.")
+        }
+    return sd
+
+
 def distilbert_config_from_state(sd, n_heads: int = 12) -> DistilBertConfig:
     """Infer the architecture of an HF DistilBertModel state dict.
 
@@ -171,13 +186,21 @@ def distilbert_config_from_state(sd, n_heads: int = 12) -> DistilBertConfig:
     """
     import re
 
+    sd = _normalize_hf_state(sd)
     vocab, dim = sd["embeddings.word_embeddings.weight"].shape
     max_pos = sd["embeddings.position_embeddings.weight"].shape[0]
-    n_layers = 1 + max(
+    layer_ids = [
         int(m.group(1))
         for k in sd
         if (m := re.match(r"transformer\.layer\.(\d+)\.", k))
-    )
+    ]
+    if not layer_ids:
+        raise ValueError(
+            "state dict has no transformer.layer.* keys — expected an HF "
+            "DistilBertModel layout (embeddings.* + transformer.layer.N.*); "
+            f"got keys like {sorted(sd)[:3]}"
+        )
+    n_layers = 1 + max(layer_ids)
     hidden = sd["transformer.layer.0.ffn.lin1.weight"].shape[0]
     return DistilBertConfig(
         vocab_size=int(vocab),
@@ -211,6 +234,7 @@ def config_from_params(params: Pytree, n_heads: int = 12) -> DistilBertConfig:
 
 def convert_distilbert(sd, cfg: DistilBertConfig = BASE) -> Pytree:
     """HF DistilBertModel state dict -> pytree (torch [out,in] -> [in,out])."""
+    sd = _normalize_hf_state(sd)
 
     def npa(t):
         return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,

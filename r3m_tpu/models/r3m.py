@@ -82,6 +82,15 @@ class R3MConfig:
     # agree to f32 rounding); snapshots stay canonical. ResNet only.
     packed_bn: bool = True
 
+    def __post_init__(self):
+        if self.size == 0 and self.remat != "none":
+            # the remat policy names resnet checkpoint tags; silently
+            # ignoring it on ViT would no-op a user's memory lever
+            raise ValueError(
+                "remat is a ResNet-only activation-memory lever; "
+                f"remat={self.remat!r} has no effect on size=0 (ViT-B/32)"
+            )
+
     @property
     def out_dim(self) -> int:
         if self.size == 0:

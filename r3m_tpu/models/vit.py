@@ -175,6 +175,23 @@ def vit_config_from_state(sd) -> ViTConfig:
     )
 
 
+def require_b32_geometry(cfg: ViTConfig) -> None:
+    """Reject non-ViT-B/32 geometries at conversion time.
+
+    Lives next to `vit_config_from_state` on purpose: that function's
+    `n_heads = dim // 64` guess is unvalidated for non-768 dims, and the
+    serving path (r3m_embed) hard-codes B/32 — the reference's only ViT
+    (models_r3m.py:52-56). Keeping the guard beside the heuristic stops the
+    assumption and its enforcement drifting apart.
+    """
+    geometry = (cfg.patch_size, cfg.dim, cfg.n_layers, cfg.hidden_dim)
+    if geometry != (B32.patch_size, B32.dim, B32.n_layers, B32.hidden_dim):
+        raise ValueError(
+            "size==0 checkpoints must be ViT-B/32 (the reference's only "
+            f"ViT, models_r3m.py:52-56); found patch/dim/layers/ffn = {geometry}"
+        )
+
+
 def convert_vit(sd, cfg: ViTConfig = B32) -> Pytree:
     """HF ViTModel state dict -> pytree (torch OIHW conv -> HWIO; [out,in] -> [in,out])."""
 

@@ -290,6 +290,12 @@ def verify_parity(
                 "finite forward only",
             }
         )
+        # a vision-reference load mismatch must not silence a language-stack
+        # regression — the language reference may still load fine
+        lang = None if ref_sd is None else _language_parity(ref_sd, seed=seed)
+        if lang is not None:
+            result.update(lang)
+            result["ok"] = bool(result["ok"] and lang["lang_ok"])
         return result
 
     ref = ref.astype(np.float64)

@@ -67,6 +67,13 @@ def test_distributed_auto_gate(monkeypatch):
     tr._maybe_init_distributed({"distributed_init": "auto"})
     assert len(calls) == 2 and calls[-1]["process_id"] == 1
 
+    # incomplete explicit trio: an actionable error naming the missing var,
+    # not a bare KeyError from the launcher's forgotten export
+    monkeypatch.delenv("JAX_PROCESS_ID")
+    with pytest.raises(ValueError, match="JAX_PROCESS_ID"):
+        tr._maybe_init_distributed({"distributed_init": "auto"})
+    assert len(calls) == 2
+
 
 def test_instantiate_target():
     obj = instantiate({"_target_": "collections.OrderedDict"}, a=1)

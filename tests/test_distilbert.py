@@ -8,6 +8,7 @@ identical architecture + numerics paths the pretrained weights would.
 import numpy as np
 import torch
 
+import jax
 import jax.numpy as jnp
 
 import pytest
@@ -81,3 +82,28 @@ def test_sentence_embedding_includes_padding(rng):
         params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32), SMALL
     )
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_config_from_state_accepts_head_prefix_and_rejects_garbage():
+    """Head saves (DistilBertFor*) keep the encoder under "distilbert." —
+    both config inference and conversion must strip it; a state dict with
+    no transformer layers must fail with a layout-naming error."""
+    from r3m_tpu.models.distilbert import distilbert_config_from_state
+
+    sd = _hf_model(SMALL).state_dict()
+    prefixed = {f"distilbert.{k}": v for k, v in sd.items()}
+    cfg = distilbert_config_from_state(prefixed, n_heads=SMALL.n_heads)
+    assert (cfg.dim, cfg.n_layers) == (SMALL.dim, SMALL.n_layers)
+    p_direct = convert_distilbert(sd, cfg)
+    p_prefixed = convert_distilbert(prefixed, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_direct), jax.tree_util.tree_leaves(p_prefixed)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    bad = {
+        "embeddings.word_embeddings.weight": np.zeros((5, 4), np.float32),
+        "embeddings.position_embeddings.weight": np.zeros((8, 4), np.float32),
+    }
+    with pytest.raises(ValueError, match="transformer.layer"):
+        distilbert_config_from_state(bad)

@@ -184,3 +184,13 @@ def test_convert_rejects_non_b32_vit():
     }
     with pytest.raises(ValueError, match="ViT-B/32"):
         convert_r3m_torch_state(sd)
+
+
+def test_remat_knob_rejected_on_vit():
+    """remat is a ResNet-only memory lever; silently ignoring it on ViT
+    would no-op a user's config (R3MConfig.__post_init__ guard)."""
+    from r3m_tpu.models.r3m import R3MConfig
+
+    with pytest.raises(ValueError, match="remat"):
+        R3MConfig(size=0, remat="conv_saved")
+    R3MConfig(size=0)  # default remat fine

@@ -56,9 +56,21 @@ def _maybe_init_distributed(cfg):
         return
     import jax
 
-    if explicit and env.get("JAX_NUM_PROCESSES"):
+    if explicit and (env.get("JAX_NUM_PROCESSES") or env.get("JAX_PROCESS_ID")):
         # explicit trio for bespoke launchers (and the integration test);
         # cloud/Slurm/MPI environments auto-detect all three below
+        missing = [
+            k
+            for k in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+            if not env.get(k)
+        ]
+        if missing:
+            raise ValueError(
+                "JAX_COORDINATOR_ADDRESS is set but the launcher did not "
+                f"export {' and '.join(missing)}; a bespoke pod launch needs "
+                "all three of JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, "
+                "JAX_PROCESS_ID"
+            )
         jax.distributed.initialize(
             coordinator_address=explicit,
             num_processes=int(env["JAX_NUM_PROCESSES"]),
