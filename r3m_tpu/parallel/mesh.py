@@ -84,6 +84,63 @@ def replicate(mesh: Mesh, tree: Pytree) -> Pytree:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+_HLO_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1,
+}
+
+_COLLECTIVES = (
+    "all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+    "collective-permute",
+)
+
+
+def collective_cost_report(hlo_text: str) -> dict:
+    """Per-kind collective byte totals of an optimized (SPMD-partitioned)
+    HLO module — the per-step inter-chip traffic the compiled program
+    implies. Pairs with the ICI/DCN bandwidth budget in docs/DESIGN.md.
+
+    Bytes are the collectives' result-buffer sizes per participating
+    device: for `-start` forms of all-gather/collective-permute the first
+    result element aliases the input and is skipped; variadic all-reduce
+    tuples (XLA's grad-bucket fusion) sum every element. `-done` ops are
+    skipped (they repeat the `-start` shape).
+    """
+    import re
+
+    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
+    totals = {k: 0 for k in _COLLECTIVES}
+    counts = {k: 0 for k in _COLLECTIVES}
+    for line in hlo_text.splitlines():
+        m = re.search(
+            r"=\s+(\([^)]*\)|\S+)\s+(%s)(-start)?\(" % "|".join(_COLLECTIVES),
+            line,
+        )
+        if not m:
+            continue
+        result_type, kind, start = m.group(1), m.group(2), m.group(3)
+        shapes = []
+        for dt, dims in shape_re.findall(result_type):
+            if dt not in _HLO_DTYPE_BYTES:
+                continue  # token[] / opaque[] etc.
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            shapes.append(n * _HLO_DTYPE_BYTES[dt])
+        if start and kind in ("all-gather", "collective-permute") and len(shapes) > 1:
+            shapes = shapes[1:2]  # skip the aliased input element
+        totals[kind] += sum(shapes)
+        counts[kind] += 1
+    totals = {k: v for k, v in totals.items() if counts[k]}
+    return {
+        "bytes": totals,
+        "ops": {k: counts[k] for k in totals},
+        "total_bytes": sum(totals.values()),
+    }
+
+
 def place_host_batch(
     mesh: Optional[Mesh], batch: Pytree, multihost: Optional[bool] = None
 ) -> Pytree:

@@ -280,6 +280,46 @@ def test_multichip_hlo_collective_structure(bert_params):
             )
 
 
+def test_multichip_collective_bytes_budget(bert_params):
+    """Quantify the per-step inter-chip traffic the dp design implies
+    (VERDICT round 2 item 5): gradient all-reduce ~= one f32 copy of the
+    trainable params, embedding exchange orders of magnitude below the
+    conv activation traffic. The byte totals printed here back the ICI/DCN
+    time budget in docs/DESIGN.md.
+    """
+    from r3m_tpu.parallel.mesh import collective_cost_report
+
+    mesh = make_mesh()
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    state8 = replicate(mesh, state)
+    step = make_train_step(CFG, bert_params=bert_params, mesh=mesh, donate=False)
+    batch = shard_batch(mesh, _fake_batch(np.random.default_rng(3), bs=16))
+
+    hlo = step.lower(state8, batch).compile().as_text()
+    report = collective_cost_report(hlo)
+    print("collective bytes/step (8-device dp, bs=16, 32px):", report)
+
+    param_bytes = sum(
+        int(np.prod(np.shape(x))) * 4
+        for x in jax.tree_util.tree_leaves(state.params)
+    )
+    ar = report["bytes"].get("all-reduce", 0)
+    # grad reduction must move every trainable param (f32) at least once
+    # and not blow up into activation-scale traffic (bucketing/fusion may
+    # add metric scalars + a second pass for stats, hence the 3x headroom)
+    assert ar >= param_bytes, (ar, param_bytes)
+    assert ar < 3 * param_bytes, (ar, param_bytes)
+
+    # the global-batch negative exchange moves embedding-scale buffers
+    # ([B*5, out_dim] + loss intermediates), far below conv activations
+    exchange = sum(
+        report["bytes"].get(k, 0)
+        for k in ("all-gather", "all-to-all", "collective-permute")
+    )
+    image_bytes = 16 * 5 * 32 * 32 * 3 * 4
+    assert 0 < exchange < 64 * image_bytes, (exchange, image_bytes)
+
+
 @pytest.mark.slow
 def test_lr_schedule_string(bert_params):
     """cfg.lr as a schedule string drives per-step Adam learning rates."""
