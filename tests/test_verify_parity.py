@@ -8,6 +8,7 @@ parity number is one command away (VERDICT round-1 item 5).
 """
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -170,3 +171,75 @@ def test_verify_parity_vit_artifact(tmp_path):
     assert result["size"] == 0 and result["out_dim"] == 768
     assert result["cosine_min"] >= COSINE_BAR, result
     assert result["ok"] is True
+
+
+def test_verify_parity_language_reported_despite_vision_fallback(
+    tmp_path, monkeypatch
+):
+    """A vision-reference load failure must not silence the language-parity
+    section — the language reference can still load (ADVICE round 2)."""
+    from transformers import DistilBertConfig as HFConfig, DistilBertModel
+
+    import r3m_tpu.verify_parity as vp
+
+    from .torch_ref import TorchLanguageReward
+
+    tm = torch_resnet(18).eval()
+    hf = DistilBertModel(
+        HFConfig(
+            vocab_size=30, dim=768, n_layers=1, n_heads=12, hidden_dim=48,
+            max_position_embeddings=32,
+        )
+    ).eval()
+    head = TorchLanguageReward(512, 16, 768).eval()
+    sd = {f"module.convnet.{k}": v for k, v in tm.state_dict().items()}
+    sd.update({f"module.lang_enc.model.{k}": v for k, v in hf.state_dict().items()})
+    sd.update({f"module.lang_rew.{k}": v for k, v in head.state_dict().items()})
+    modelpath = str(tmp_path / "model.pt")
+    torch.save({"r3m": sd}, modelpath)
+
+    monkeypatch.setattr(vp, "_torch_forward", lambda *a, **kw: None)
+    result = vp.verify_parity(modelpath, None, n_images=2)
+    assert result["mode"] == "convert-only"
+    assert "lang_max_abs_diff" in result, result
+    assert result["lang_ok"] is True
+
+
+def test_run_parity_sweep_on_cached_artifacts(artifacts, tmp_path, monkeypatch):
+    """scripts/run_parity.py: one pre-copied registry entry runs the full
+    torch-reference comparison; unreachable entries are recorded as skipped
+    (zero-egress behavior) and don't fail the sweep."""
+    import shutil
+    import sys
+
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        import run_parity
+    finally:
+        sys.path.remove(scripts_dir)
+
+    modelpath, configpath = artifacts
+    home = tmp_path / "r3m_home"
+    (home / "r3m_18").mkdir(parents=True)
+    shutil.copy(modelpath, home / "r3m_18" / "model.pt")
+    shutil.copy(configpath, home / "r3m_18" / "config.yaml")
+    monkeypatch.setenv("R3M_HOME", str(home))
+    # no egress in tests: any fetch attempt for the other entries must fail
+    # fast instead of hitting the network
+    import r3m_tpu.fetch as fetch
+
+    monkeypatch.setattr(
+        fetch, "_drive_download",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("no egress")),
+    )
+
+    out = tmp_path / "PARITY.json"
+    rc = run_parity.main(["--out", str(out), "--images", "2"])
+    summary = json.loads(out.read_text())
+    assert rc == 0, summary
+    assert summary["attempted"] == 7 and summary["ran"] == 1
+    r18 = summary["results"]["resnet18"]
+    assert r18["mode"] == "torch-reference" and r18["ok"] is True
+    assert summary["results"]["resnet50"]["skipped"] is True
+    assert summary["ok"] is True
