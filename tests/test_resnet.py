@@ -23,9 +23,75 @@ def _to_jax_nhwc(x_nchw: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
 
 
+def _manifest(size: int) -> dict:
+    """Vendored torchvision state-dict layout (key -> shape); fc.* dropped
+    because R3M replaces fc with Identity (models_r3m.py:62) and so do both
+    the oracle and the exporter. scripts/gen_tv_manifest.py documents the
+    provenance (regenerates from real torchvision when importable)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "torchvision_resnet_manifest.json"
+    )
+    with open(path) as f:
+        m = json.load(f)[str(size)]
+    return {k: tuple(v) for k, v in m.items() if not k.startswith("fc.")}
+
+
+@pytest.mark.parametrize("size", [18, 34, 50])
+def test_oracle_matches_torchvision_manifest(size):
+    """The hand-rolled torch oracle must produce torchvision's exact
+    state-dict key/shape set — a systematic oracle divergence from the real
+    torchvision layout cannot hide behind oracle-vs-oracle parity tests."""
+    sd = torch_resnet(size).state_dict()
+    got = {k: tuple(v.shape) for k, v in sd.items()}
+    assert got == _manifest(size)
+
+
+@pytest.mark.parametrize("size", [18, 34, 50])
+def test_export_matches_torchvision_manifest(size):
+    """export_resnet must emit exactly the torchvision layout (the format
+    the reference's published snapshots use, r3m/__init__.py:73), and
+    convert_resnet must round-trip it."""
+    from r3m_tpu.convert import export_resnet
+    from r3m_tpu.models.resnet import resnet_init
+
+    manifest = _manifest(size)
+    params, state = resnet_init(jax.random.PRNGKey(0), size)
+    sd = export_resnet(params, state, size)
+    assert {k: tuple(np.shape(v)) for k, v in sd.items()} == manifest
+
+    # and the converter consumes exactly that layout back to pytrees
+    p2, s2 = convert_resnet(sd, size)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path((params, state)),
+        jax.tree_util.tree_leaves_with_path((p2, s2)),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("size", [18, 34, 50])
+def test_eval_parity_vs_real_torchvision(size, rng):
+    """Identical to test_eval_parity_vs_torch but against GENUINE
+    torchvision (auto-upgrades when the environment gains it; skipped
+    offline). Keeps the pinned hand-rolled tier's numerics untouched."""
+    pytest.importorskip("torchvision")
+    from r3m_tpu.torch_oracle import torch_resnet as tv_resnet
+
+    tm = tv_resnet(size, prefer_torchvision=True).eval()
+    assert type(tm).__module__.startswith("torchvision")
+    _assert_eval_parity(tm, size, rng)
+
+
 @pytest.mark.parametrize("size", [18, 34, 50])
 def test_eval_parity_vs_torch(size, rng):
     tm = torch_resnet(size).eval()
+    _assert_eval_parity(tm, size, rng)
+
+
+def _assert_eval_parity(tm, size, rng):
     # randomize running stats so eval-mode BN is actually exercised
     with torch.no_grad():
         for m in tm.modules():
