@@ -158,6 +158,8 @@ def main():
         bs=bs,
         compute_dtype=compute_dtype,
         remat=os.environ.get("BENCH_REMAT", "none"),
+        # ViT-only lever (ops/attention.py); measured in BASELINE.md
+        vit_fused_attn=bool(int(os.environ.get("BENCH_VIT_FUSED", "0"))),
     )
     key = jax.random.PRNGKey(0)
     k_state, k_img = jax.random.split(key)

@@ -81,6 +81,10 @@ class R3MConfig:
     # ~1 KB ones (measured copy storm, BASELINE.md). Identical math (results
     # agree to f32 rounding); snapshots stay canonical. ResNet only.
     packed_bn: bool = True
+    # ViT-only: route attention through the fused Pallas kernel
+    # (ops/attention.py) — scores/probs stay in VMEM, backward recomputes
+    # them. Default follows the real-chip measurement in BASELINE.md.
+    vit_fused_attn: bool = False
 
     def __post_init__(self):
         if self.size == 0 and self.remat != "none":
@@ -89,6 +93,11 @@ class R3MConfig:
             raise ValueError(
                 "remat is a ResNet-only activation-memory lever; "
                 f"remat={self.remat!r} has no effect on size=0 (ViT-B/32)"
+            )
+        if self.size != 0 and self.vit_fused_attn:
+            raise ValueError(
+                "vit_fused_attn is a ViT-only lever; it has no effect on "
+                f"size={self.size} (ResNet has no attention)"
             )
 
     @property
@@ -172,6 +181,7 @@ def r3m_embed(
         feats = vit_b32_apply(
             params["convnet"], x, precision=precision,
             compute_dtype=cfg.jnp_compute_dtype,
+            fused_attn=cfg.vit_fused_attn,
         )
         return feats, batch_stats
     feats, new_stats = resnet_apply(

@@ -96,12 +96,18 @@ def vit_b32_apply(
     cfg: ViTConfig = B32,
     precision=None,
     compute_dtype=None,
+    fused_attn: bool = False,
 ) -> jax.Array:
     """NHWC normalized images -> [B, dim] pooled embedding (HF pooler_output).
 
     `compute_dtype=jnp.bfloat16` runs matmuls/attention in bf16 on the MXU
     (params stay f32; LayerNorm statistics and softmax accumulate f32 via
     preferred_element_type). Output is always f32.
+
+    `fused_attn=True` routes QK^T -> softmax -> PV through the Pallas
+    kernel (`r3m_tpu.ops.attention.fused_attention`): scores/probs stay in
+    VMEM and the backward recomputes them (interpret mode off-TPU). Same
+    math as the einsum path to bf16/f32 rounding.
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -119,22 +125,44 @@ def vit_b32_apply(
     cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.dim)).astype(tokens.dtype)
     h = jnp.concatenate([cls, tokens], axis=1) + params["pos"].astype(x.dtype)
 
+    if fused_attn:
+        from r3m_tpu.ops.attention import fused_attention
+
+        # trace-time constant: tests force the cpu platform, real runs
+        # compile; the kernel itself is platform-agnostic
+        interpret = jax.default_backend() == "cpu"
+
     head_dim = cfg.dim // cfg.n_heads
     t = h.shape[1]
     for layer in params["layers"]:
         y = _layer_norm(h, layer["ln1"], cfg.layer_norm_eps)
-        q = _dense(y, layer["q"], precision).reshape(b, t, cfg.n_heads, head_dim)
-        k = _dense(y, layer["k"], precision).reshape(b, t, cfg.n_heads, head_dim)
-        v = _dense(y, layer["v"], precision).reshape(b, t, cfg.n_heads, head_dim)
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, precision=precision,
-            preferred_element_type=jnp.float32,
-        ) / np.sqrt(head_dim)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, v, precision=precision,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype).reshape(b, t, cfg.dim)
+        if fused_attn:
+            ctx = fused_attention(
+                _dense(y, layer["q"], precision),
+                _dense(y, layer["k"], precision),
+                _dense(y, layer["v"], precision),
+                cfg.n_heads,
+                interpret=interpret,
+            )
+        else:
+            q = _dense(y, layer["q"], precision).reshape(
+                b, t, cfg.n_heads, head_dim
+            )
+            k = _dense(y, layer["k"], precision).reshape(
+                b, t, cfg.n_heads, head_dim
+            )
+            v = _dense(y, layer["v"], precision).reshape(
+                b, t, cfg.n_heads, head_dim
+            )
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, precision=precision,
+                preferred_element_type=jnp.float32,
+            ) / np.sqrt(head_dim)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs, v, precision=precision,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype).reshape(b, t, cfg.dim)
         h = h + _dense(ctx, layer["o"], precision)
         y = _layer_norm(h, layer["ln2"], cfg.layer_norm_eps)
         y = jax.nn.gelu(_dense(y, layer["lin1"], precision), approximate=False)

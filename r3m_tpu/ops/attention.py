@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: fused multi-head self-attention for ViT-B/32.
+
+The reference's ``size == 0`` backbone is an HF ViT
+(``/root/reference/r3m/models/models_r3m.py:52-56``); our XLA path
+(`r3m_tpu.models.vit.vit_b32_apply`) materializes the `[B, H, T, T]`
+score/prob tensors through HBM every layer and pays `bqhd -> bhqk`
+relayouts on both sides of the softmax. At the bench shape (B = 160
+frames, T = 50 tokens, H = 12 heads, D = 64) the attention matmuls are
+~1% of the step's FLOPs — the candidate win is *traffic*: one kernel per
+(batch-block, head) computes QK^T -> softmax -> PV entirely in
+VMEM/registers, and the custom VJP recomputes the probabilities instead
+of saving them (dropping the ~[B,12,50,50] x 12-layer probs residual
+from the activation footprint).
+
+Layout: q, k, v are the PACKED dense outputs `[B, T, H*D]` — no per-head
+reshape/transpose is ever materialized; the BlockSpec's lane slice
+`(i, 0, h)` gathers head `h` during the HBM->VMEM DMA, which is where a
+strided gather is free.
+
+Like `ops/pallas_pool.py`, this ships with interpret-mode correctness
+tests and is wired only if the real-chip microbench wins (BASELINE.md
+records the accept/reject measurement either way).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block_b(b: int, block_b: int | None) -> int:
+    if block_b is not None:
+        if b % block_b:
+            raise ValueError(f"block_b={block_b} must divide B={b}")
+        return block_b
+    for cand in (16, 8, 4, 2, 1):
+        if b % cand == 0:
+            return cand
+    return 1
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """q, k, v refs [Bb, T, D] (one head) -> o ref [Bb, T, D]."""
+    bb = q_ref.shape[0]
+    for i in range(bb):  # static unroll: 2-D MXU dots per batch element
+        qi, ki, vi = q_ref[i], k_ref[i], v_ref[i]
+        u = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = u * scale
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(vi.dtype), vi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[i] = ctx.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Recompute-probs backward for one (batch-block, head)."""
+    bb = q_ref.shape[0]
+    for i in range(bb):
+        qi, ki, vi, doi = q_ref[i], k_ref[i], v_ref[i], do_ref[i]
+        u = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = u * scale
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [Tq, Tk] f32
+        p_lo = p.astype(vi.dtype)
+        # dv = P^T dO   (contract Tq)
+        dv = jax.lax.dot_general(
+            p_lo, doi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO V^T   (contract D)
+        dp = jax.lax.dot_general(
+            doi, vi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dU = P o (dP - rowsum(dP o P)) * scale  (softmax VJP)
+        du = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale).astype(
+            qi.dtype
+        )
+        dq = jax.lax.dot_general(
+            du, ki, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dK = dU^T Q   (contract Tq)
+        dk = jax.lax.dot_general(
+            du, qi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[i] = dq.astype(dq_ref.dtype)
+        dk_ref[i] = dk.astype(dk_ref.dtype)
+        dv_ref[i] = dv.astype(dv_ref.dtype)
+
+
+def _specs(block_b: int, t: int, d: int, n: int):
+    return [
+        pl.BlockSpec((block_b, t, d), lambda i, h: (i, 0, h), memory_space=pltpu.VMEM)
+        for _ in range(n)
+    ]
+
+
+def _fwd_call(q, k, v, n_heads, block_b, interpret):
+    b, t, hd = q.shape
+    d = hd // n_heads
+    bb = _pick_block_b(b, block_b)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=1.0 / np.sqrt(d)),
+        grid=(b // bb, n_heads),
+        in_specs=_specs(bb, t, d, 3),
+        out_specs=_specs(bb, t, d, 1)[0],
+        out_shape=jax.ShapeDtypeStruct((b, t, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _bwd_call(q, k, v, do, n_heads, block_b, interpret):
+    b, t, hd = q.shape
+    d = hd // n_heads
+    bb = _pick_block_b(b, block_b)
+    shape = jax.ShapeDtypeStruct((b, t, hd), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=1.0 / np.sqrt(d)),
+        grid=(b // bb, n_heads),
+        in_specs=_specs(bb, t, d, 4),
+        out_specs=tuple(_specs(bb, t, d, 3)),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention(q, k, v, n_heads: int, block_b: int | None = None,
+                    interpret: bool = False):
+    """Softmax(QK^T / sqrt(D)) V per head, fused in VMEM.
+
+    q, k, v: ``[B, T, n_heads * D]`` packed head-major (the natural dense
+    output; head ``h`` occupies lanes ``[h*D, (h+1)*D)``). Returns the
+    context in the same packed layout — feed it straight to the output
+    projection. Scores/probs never touch HBM; the VJP recomputes them.
+    """
+    if q.shape[-1] % n_heads:
+        raise ValueError(f"dim {q.shape[-1]} not divisible by n_heads={n_heads}")
+    return _fwd_call(q, k, v, n_heads, block_b, interpret)
+
+
+def _vjp_fwd(q, k, v, n_heads, block_b, interpret):
+    return _fwd_call(q, k, v, n_heads, block_b, interpret), (q, k, v)
+
+
+def _vjp_bwd(n_heads, block_b, interpret, res, g):
+    q, k, v = res
+    return _bwd_call(q, k, v, g, n_heads, block_b, interpret)
+
+
+fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
