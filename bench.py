@@ -81,8 +81,10 @@ def main_data():
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     size = int(os.environ.get("BENCH_SIZE", "50"))
     n_threads = int(os.environ.get("BENCH_WORKERS", "8"))
+    # BENCH_LANGW=0 skips the frozen-BERT stack (CPU-testable pipeline path)
+    langw = float(os.environ.get("BENCH_LANGW", "1.0"))
     cfg = R3MConfig(
-        size=size, langweight=1.0, tcnweight=1.0, l1weight=1e-5, bs=bs,
+        size=size, langweight=langw, tcnweight=1.0, l1weight=1e-5, bs=bs,
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
     )
     ds = Ego4DDataset(root, alpha=0.2, seed=1)
@@ -96,9 +98,8 @@ def main_data():
     tok = WordPieceTokenizer(vocab_file=os.path.join(root, "vocab.txt"))
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = make_train_step(
-        cfg, bert_params=distilbert_init(jax.random.PRNGKey(1)), doaug="rctraj"
-    )
+    bert_params = distilbert_init(jax.random.PRNGKey(1)) if langw > 0 else None
+    step = make_train_step(cfg, bert_params=bert_params, doaug="rctraj")
 
     def place(b):
         return {

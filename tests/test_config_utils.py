@@ -34,6 +34,20 @@ def test_root_yaml_accepts_documented_remat_override():
     assert agent_to_r3m_config(load_config("cfgs/config_rep.yaml")["agent"]).remat == "none"
 
 
+def test_root_yaml_accepts_vit_fused_attn_override():
+    """Same contract for the ViT fused-attention lever (size=0 only)."""
+    cfg = load_config(
+        "cfgs/config_rep.yaml",
+        ["agent.vit_fused_attn=true", "agent.size=0", "agent.tcnweight=0.0"],
+    )
+    r3m_cfg = agent_to_r3m_config(cfg["agent"])
+    assert r3m_cfg.vit_fused_attn is True and r3m_cfg.size == 0
+    assert (
+        agent_to_r3m_config(load_config("cfgs/config_rep.yaml")["agent"])
+        .vit_fused_attn is False
+    )
+
+
 def test_distributed_auto_gate(monkeypatch):
     """`distributed_init: auto` must NOT call jax.distributed.initialize on
     a single-worker host: the axon tunnel exports TPU_WORKER_HOSTNAMES=
