@@ -34,6 +34,16 @@ def test_root_yaml_accepts_documented_remat_override():
     assert agent_to_r3m_config(load_config("cfgs/config_rep.yaml")["agent"]).remat == "none"
 
 
+def test_root_yaml_accepts_packed_bn_override():
+    """Same contract for the packed-BN layout escape hatch (default on)."""
+    cfg = load_config("cfgs/config_rep.yaml", ["agent.packed_bn=false"])
+    assert agent_to_r3m_config(cfg["agent"]).packed_bn is False
+    assert (
+        agent_to_r3m_config(load_config("cfgs/config_rep.yaml")["agent"])
+        .packed_bn is True
+    )
+
+
 def test_root_yaml_accepts_vit_fused_attn_override():
     """Same contract for the ViT fused-attention lever (size=0 only)."""
     cfg = load_config(
