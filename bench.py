@@ -115,13 +115,22 @@ def main_data():
             for _ in range(3):  # compile + warmup + queue warm
                 state, metrics = step(state, next(placed))
             float(metrics["full_loss"])
+            wait = 0.0  # host-side stall: time blocked on the input queue
             t0 = time.perf_counter()
             for _ in range(steps):
-                state, metrics = step(state, next(placed))
+                tw = time.perf_counter()
+                batch = next(placed)
+                wait += time.perf_counter() - tw
+                state, metrics = step(state, batch)
             float(metrics["full_loss"])  # hard host sync (see main())
             dt = time.perf_counter() - t0
         finally:
             placed.close()
+
+    print(
+        f"[bench] input wait {wait / steps * 1e3:.1f} ms/step "
+        f"({wait / dt * 100:.0f}% of wall) — the host-vs-device gap"
+    )
 
     fps = bs * 5 * steps / dt
     print(
