@@ -61,10 +61,6 @@ def _ensure_fixture(root: str) -> str:
 
 
 def main_data():
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser(os.environ.get("BENCH_CACHE", "~/.cache/r3m_tpu_xla")),
-    )
     from r3m_tpu.data.ego4d import Ego4DDataset, FrameBatcher
     from r3m_tpu.data.pipeline import DataPipeline, ProducerQueue
     from r3m_tpu.models.distilbert import distilbert_init
@@ -158,10 +154,6 @@ def main_eval():
     A100 TRAIN marker as a conservative floor (inference is cheaper than
     training, so >1.0 is the expected regime on healthy hardware).
     """
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser(os.environ.get("BENCH_CACHE", "~/.cache/r3m_tpu_xla")),
-    )
     import numpy as np
 
     from r3m_tpu.models.r3m import R3MConfig, R3MEncoder, r3m_init
@@ -214,10 +206,6 @@ def main_eval():
 
 
 def main():
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser(os.environ.get("BENCH_CACHE", "~/.cache/r3m_tpu_xla")),
-    )
     from r3m_tpu.models.distilbert import distilbert_init
     from r3m_tpu.models.r3m import R3MConfig
     from r3m_tpu.training.trainer import create_train_state, make_train_step
@@ -288,7 +276,16 @@ def main():
     )
 
 
+def _setup_compilation_cache():
+    # persist compiled executables across runs (first TPU compile is ~20-40s)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser(os.environ.get("BENCH_CACHE", "~/.cache/r3m_tpu_xla")),
+    )
+
+
 if __name__ == "__main__":
+    _setup_compilation_cache()
     # the tunneled-TPU backend occasionally fails to initialize transiently;
     # retry before giving up so a hiccup doesn't read as a benchmark failure
     for attempt in range(3):

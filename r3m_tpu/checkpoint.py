@@ -315,13 +315,32 @@ def step_snapshots(work_dir: str):
 
 def r3m_config_from_meta(meta: Dict, **overrides):
     """Rebuild an R3MConfig from snapshot metadata (filtered to known fields)."""
+    import warnings
+
     from r3m_tpu.models.r3m import R3MConfig
 
     cfg_dict = dict(meta.get("config") or {})
     cfg_dict.update(overrides)
-    return R3MConfig(
-        **{k: v for k, v in cfg_dict.items() if k in R3MConfig.__dataclass_fields__}
-    )
+    cfg_dict = {
+        k: v for k, v in cfg_dict.items() if k in R3MConfig.__dataclass_fields__
+    }
+    # Backbone-mismatched runtime levers (remat on ViT, vit_fused_attn on
+    # ResNet) are rejected by R3MConfig.__post_init__ for fresh configs, but
+    # older snapshots may carry them from when they were silent no-ops — a
+    # checkpoint that loaded yesterday must still load, so coerce + warn
+    # instead of refusing (they never affected the saved weights).
+    size = cfg_dict.get("size", R3MConfig.size)
+    for field, default, bad in (
+        ("remat", "none", size == 0),
+        ("vit_fused_attn", False, size != 0),
+    ):
+        if bad and cfg_dict.get(field, default) != default:
+            warnings.warn(
+                f"snapshot config carries {field}={cfg_dict[field]!r}, which "
+                f"does not apply to size={size}; ignoring it"
+            )
+            cfg_dict[field] = default
+    return R3MConfig(**cfg_dict)
 
 
 def restore_like(saved, ref):

@@ -346,6 +346,7 @@ def main(argv=None) -> int:
         import jax
 
         from r3m_tpu.checkpoint import (
+            canonicalize_train_tree,
             import_bundle_to_state,
             load_torch_checkpoint,
             save_snapshot,
@@ -366,12 +367,16 @@ def main(argv=None) -> int:
         )
         save_snapshot(
             args.out,
-            {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "key": state.key,
-            },
+            # on-disk snapshots are ALWAYS canonical per-layer BN layout
+            # (checkpoint.py contract); the template state may be packed
+            canonicalize_train_tree(
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "key": state.key,
+                }
+            ),
             {
                 "global_step": int(np.asarray(state.step)),
                 "config": dataclasses.asdict(cfg),

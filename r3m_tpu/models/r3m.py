@@ -79,7 +79,9 @@ class R3MConfig:
     # vectors (plus their Adam moments) into contiguous per-role arrays so
     # the jitted step streams a few ~100 KB buffers instead of thousands of
     # ~1 KB ones (measured copy storm, BASELINE.md). Identical math (results
-    # agree to f32 rounding); snapshots stay canonical. ResNet only.
+    # agree to f32 rounding); snapshots stay canonical. ResNet + Adam only:
+    # LARS's per-array trust ratio would change under concatenation, so the
+    # trainer ignores this flag for optimizer="lars".
     packed_bn: bool = True
     # ViT-only: route attention through the fused Pallas kernel
     # (ops/attention.py) — scores/probs stay in VMEM, backward recomputes
@@ -154,6 +156,7 @@ def r3m_embed(
     train: bool = False,
     precision=None,
     prenormalized: bool = False,
+    fused_attn_interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, Pytree]:
     """Images -> embeddings (reference `forward`, models_r3m.py:84-100).
 
@@ -182,6 +185,7 @@ def r3m_embed(
             params["convnet"], x, precision=precision,
             compute_dtype=cfg.jnp_compute_dtype,
             fused_attn=cfg.vit_fused_attn,
+            fused_attn_interpret=fused_attn_interpret,
         )
         return feats, batch_stats
     feats, new_stats = resnet_apply(

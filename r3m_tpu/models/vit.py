@@ -97,6 +97,7 @@ def vit_b32_apply(
     precision=None,
     compute_dtype=None,
     fused_attn: bool = False,
+    fused_attn_interpret: bool | None = None,
 ) -> jax.Array:
     """NHWC normalized images -> [B, dim] pooled embedding (HF pooler_output).
 
@@ -105,9 +106,13 @@ def vit_b32_apply(
     preferred_element_type). Output is always f32.
 
     `fused_attn=True` routes QK^T -> softmax -> PV through the Pallas
-    kernel (`r3m_tpu.ops.attention.fused_attention`): scores/probs stay in
-    VMEM and the backward recomputes them (interpret mode off-TPU). Same
-    math as the einsum path to bf16/f32 rounding.
+    kernel (`r3m_tpu.ops.attention.fused_attention`), at the same
+    `precision` as the einsum path: scores/probs stay in VMEM and the
+    backward recomputes them. Same math as the einsum path to bf16/f32
+    rounding. `fused_attn_interpret` forces/suppresses the kernel's
+    interpret mode; the None default infers it from the *default* backend,
+    which is wrong only when jitting for a non-default backend — pass it
+    explicitly there.
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -130,7 +135,9 @@ def vit_b32_apply(
 
         # trace-time constant: tests force the cpu platform, real runs
         # compile; the kernel itself is platform-agnostic
-        interpret = jax.default_backend() == "cpu"
+        interpret = fused_attn_interpret
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
 
     head_dim = cfg.dim // cfg.n_heads
     t = h.shape[1]
@@ -143,6 +150,7 @@ def vit_b32_apply(
                 _dense(y, layer["v"], precision),
                 cfg.n_heads,
                 interpret=interpret,
+                precision=precision,
             )
         else:
             q = _dense(y, layer["q"], precision).reshape(

@@ -44,14 +44,14 @@ def _pick_block_b(b: int, block_b: int | None) -> int:
     return 1
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, precision):
     """q, k, v refs [Bb, T, D] (one head) -> o ref [Bb, T, D]."""
     bb = q_ref.shape[0]
     for i in range(bb):  # static unroll: 2-D MXU dots per batch element
         qi, ki, vi = q_ref[i], k_ref[i], v_ref[i]
         u = jax.lax.dot_general(
             qi, ki, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         s = u * scale
         s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -59,19 +59,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         ctx = jax.lax.dot_general(
             p.astype(vi.dtype), vi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         o_ref[i] = ctx.astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                scale: float, precision):
     """Recompute-probs backward for one (batch-block, head)."""
     bb = q_ref.shape[0]
     for i in range(bb):
         qi, ki, vi, doi = q_ref[i], k_ref[i], v_ref[i], do_ref[i]
         u = jax.lax.dot_general(
             qi, ki, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         s = u * scale
         s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -81,12 +82,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
         # dv = P^T dO   (contract Tq)
         dv = jax.lax.dot_general(
             p_lo, doi, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         # dP = dO V^T   (contract D)
         dp = jax.lax.dot_general(
             doi, vi, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         # dU = P o (dP - rowsum(dP o P)) * scale  (softmax VJP)
         du = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale).astype(
@@ -94,12 +95,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
         )
         dq = jax.lax.dot_general(
             du, ki, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         # dK = dU^T Q   (contract Tq)
         dk = jax.lax.dot_general(
             du, qi, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         dq_ref[i] = dq.astype(dq_ref.dtype)
         dk_ref[i] = dk.astype(dk_ref.dtype)
@@ -113,12 +114,13 @@ def _specs(block_b: int, t: int, d: int, n: int):
     ]
 
 
-def _fwd_call(q, k, v, n_heads, block_b, interpret):
+def _fwd_call(q, k, v, n_heads, block_b, interpret, precision):
     b, t, hd = q.shape
     d = hd // n_heads
     bb = _pick_block_b(b, block_b)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=1.0 / np.sqrt(d)),
+        functools.partial(_fwd_kernel, scale=1.0 / np.sqrt(d),
+                          precision=precision),
         grid=(b // bb, n_heads),
         in_specs=_specs(bb, t, d, 3),
         out_specs=_specs(bb, t, d, 1)[0],
@@ -127,13 +129,14 @@ def _fwd_call(q, k, v, n_heads, block_b, interpret):
     )(q, k, v)
 
 
-def _bwd_call(q, k, v, do, n_heads, block_b, interpret):
+def _bwd_call(q, k, v, do, n_heads, block_b, interpret, precision):
     b, t, hd = q.shape
     d = hd // n_heads
     bb = _pick_block_b(b, block_b)
     shape = jax.ShapeDtypeStruct((b, t, hd), q.dtype)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=1.0 / np.sqrt(d)),
+        functools.partial(_bwd_kernel, scale=1.0 / np.sqrt(d),
+                          precision=precision),
         grid=(b // bb, n_heads),
         in_specs=_specs(bb, t, d, 4),
         out_specs=tuple(_specs(bb, t, d, 3)),
@@ -142,28 +145,31 @@ def _bwd_call(q, k, v, do, n_heads, block_b, interpret):
     )(q, k, v, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_attention(q, k, v, n_heads: int, block_b: int | None = None,
-                    interpret: bool = False):
+                    interpret: bool = False, precision=None):
     """Softmax(QK^T / sqrt(D)) V per head, fused in VMEM.
 
     q, k, v: ``[B, T, n_heads * D]`` packed head-major (the natural dense
     output; head ``h`` occupies lanes ``[h*D, (h+1)*D)``). Returns the
     context in the same packed layout — feed it straight to the output
     projection. Scores/probs never touch HBM; the VJP recomputes them.
+
+    `precision`: forwarded to every in-kernel dot (same contract as the
+    einsum path's `precision=` — parity-grade serving passes HIGHEST).
     """
     if q.shape[-1] % n_heads:
         raise ValueError(f"dim {q.shape[-1]} not divisible by n_heads={n_heads}")
-    return _fwd_call(q, k, v, n_heads, block_b, interpret)
+    return _fwd_call(q, k, v, n_heads, block_b, interpret, precision)
 
 
-def _vjp_fwd(q, k, v, n_heads, block_b, interpret):
-    return _fwd_call(q, k, v, n_heads, block_b, interpret), (q, k, v)
+def _vjp_fwd(q, k, v, n_heads, block_b, interpret, precision):
+    return _fwd_call(q, k, v, n_heads, block_b, interpret, precision), (q, k, v)
 
 
-def _vjp_bwd(n_heads, block_b, interpret, res, g):
+def _vjp_bwd(n_heads, block_b, interpret, precision, res, g):
     q, k, v = res
-    return _bwd_call(q, k, v, g, n_heads, block_b, interpret)
+    return _bwd_call(q, k, v, g, n_heads, block_b, interpret, precision)
 
 
 fused_attention.defvjp(_vjp_fwd, _vjp_bwd)

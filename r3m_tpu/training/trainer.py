@@ -74,7 +74,11 @@ def create_train_state(
         model_state = r3m_init(k_init, cfg)
     params = model_state["params"]
     batch_stats = model_state["batch_stats"]
-    if cfg.packed_bn and cfg.size != 0:
+    # Packing concatenates ~106 per-layer BN vectors into per-role arrays —
+    # transparent to Adam (elementwise), but LARS computes its trust ratio
+    # per parameter array, so packing would merge 53 per-layer ratios into
+    # one global one and change the update. Adam-only.
+    if cfg.packed_bn and cfg.size != 0 and cfg.optimizer == "adam":
         # pack BEFORE tx.init so the Adam moments are packed too
         from r3m_tpu.models.resnet import is_packed, pack_bn_params, pack_bn_state
 

@@ -71,8 +71,9 @@ def main(argv=None) -> int:
     print(f"wrote {a.out}: ran {summary['ran']}/{summary['attempted']}, "
           f"ok={summary['ok']}")
     # exit 0 when everything that RAN passed (skips are environmental);
-    # exit 1 when any executed comparison failed or nothing could run
-    return 0 if summary["ok"] or summary["ran"] == 0 else 1
+    # exit 1 when any executed comparison failed or nothing could run —
+    # a gate wired to this script must not go green on an empty sweep
+    return 0 if summary["ok"] else 1
 
 
 if __name__ == "__main__":

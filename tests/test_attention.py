@@ -167,3 +167,47 @@ def test_vit_fused_train_step_runs(rng):
     new_state, metrics = step(state, batch)
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["full_loss"]))
+
+
+def test_precision_arg_threads_through(rng):
+    """`precision` reaches every in-kernel dot: HIGHEST-precision serving
+    (the 0.999-cosine parity config) must not silently run the fused
+    attention at backend-default precision. On f32 CPU interpret mode all
+    precisions agree exactly; this pins the plumbing (a bad argnum/partial
+    wiring would raise or change gradients)."""
+    b, t, h, d = 4, 10, 2, 8
+    q, k, v = (rng.normal(size=(b, t, h * d)).astype(np.float32) for _ in range(3))
+    base = np.asarray(fused_attention(q, k, v, h, interpret=True))
+    for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):
+        out = np.asarray(
+            fused_attention(q, k, v, h, interpret=True, precision=prec)
+        )
+        np.testing.assert_allclose(out, base, rtol=1e-6, atol=1e-6)
+    g = jax.grad(
+        lambda q_: jnp.sum(
+            fused_attention(
+                q_, k, v, h, interpret=True,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    )(q)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_vit_fused_serving_uses_highest_precision(rng):
+    """R3MEncoder jits the ViT forward at Precision.HIGHEST; the fused
+    branch must produce the same embeddings as the einsum branch at that
+    precision (both interpret/XLA on CPU here)."""
+    from r3m_tpu.models.vit import ViTConfig, vit_b32_apply, vit_b32_init
+
+    cfg = ViTConfig(image_size=32, patch_size=16, dim=32, n_heads=2,
+                    n_layers=2, hidden_dim=64)
+    params = vit_b32_init(jax.random.PRNGKey(0), cfg)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    hi = jax.lax.Precision.HIGHEST
+    ref = np.asarray(vit_b32_apply(params, x, cfg, precision=hi))
+    out = np.asarray(
+        vit_b32_apply(params, x, cfg, precision=hi, fused_attn=True,
+                      fused_attn_interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

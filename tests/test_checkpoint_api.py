@@ -462,6 +462,17 @@ def test_convert_cli_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(tree["params"]["lang_rew"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # the to-native output must honor the on-disk canonical-BN contract even
+    # though the template train state uses the packed runtime layout — a
+    # packed save would crash BN folding in the serving loader below
+    from r3m_tpu import load_r3m_from_snapshot
+    from r3m_tpu.models.resnet import is_packed
+
+    assert not is_packed(tree["params"]["convnet"])
+    assert "bn1" in tree["batch_stats"]
+    enc = load_r3m_from_snapshot(back)
+    out = enc(np.zeros((1, 3, 32, 32), np.uint8))
+    assert out.shape == (1, 512)
 
 
 def test_load_with_verbatim_reference_config(fake_reference_artifacts, tmp_path):
@@ -549,3 +560,32 @@ def test_load_with_unresolvable_interpolation_dropped(
         )
     model = load_r3m_from_files(modelpath, configpath)
     assert model.cfg.lr == 1e-4  # R3MConfig default, not the junk string
+
+
+def test_config_from_meta_coerces_stale_levers():
+    """Backbone-mismatched runtime levers in old snapshot metadata (from when
+    they were silent no-ops, before __post_init__ validation) must coerce to
+    their defaults with a warning — never refuse to load the checkpoint."""
+    import warnings
+
+    from r3m_tpu.checkpoint import r3m_config_from_meta
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = r3m_config_from_meta({"config": {"size": 0, "remat": "conv_saved"}})
+    assert cfg.size == 0 and cfg.remat == "none"
+    assert any("remat" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = r3m_config_from_meta({"config": {"size": 50, "vit_fused_attn": True}})
+    assert cfg.size == 50 and cfg.vit_fused_attn is False
+    assert any("vit_fused_attn" in str(x.message) for x in w)
+
+    # valid combinations pass through untouched (incl. explicit overrides)
+    assert r3m_config_from_meta(
+        {"config": {"size": 34}}, remat="conv_saved"
+    ).remat == "conv_saved"
+    assert r3m_config_from_meta(
+        {"config": {"size": 0, "vit_fused_attn": True}}
+    ).vit_fused_attn is True

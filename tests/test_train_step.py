@@ -385,6 +385,12 @@ def test_lars_optimizer_option():
 
     cfg = dataclasses.replace(CFG, langweight=0.0, optimizer="lars", lr=0.1)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
+    # LARS computes its trust ratio per parameter array, so the packed-BN
+    # concatenation would change the update math — packing must stay off
+    # for lars even at the packed_bn=True default
+    from r3m_tpu.models.resnet import is_packed
+
+    assert cfg.packed_bn and not is_packed(state.params["convnet"])
     step = make_train_step(cfg, donate=False)
     batch = _fake_batch(np.random.default_rng(0), bs=4)
     s1, m1 = step(state, batch)

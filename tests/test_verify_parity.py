@@ -243,3 +243,29 @@ def test_run_parity_sweep_on_cached_artifacts(artifacts, tmp_path, monkeypatch):
     assert r18["mode"] == "torch-reference" and r18["ok"] is True
     assert summary["results"]["resnet50"]["skipped"] is True
     assert summary["ok"] is True
+
+
+def test_run_parity_empty_sweep_exits_nonzero(tmp_path, monkeypatch):
+    """A sweep where every fetch fails (empty cache, zero egress) must NOT
+    exit 0 — a CI gate wired to the script would read green as 'verified'."""
+    import sys
+
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        import run_parity
+    finally:
+        sys.path.remove(scripts_dir)
+
+    monkeypatch.setenv("R3M_HOME", str(tmp_path / "empty_home"))
+    import r3m_tpu.fetch as fetch
+
+    monkeypatch.setattr(
+        fetch, "_drive_download",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("no egress")),
+    )
+    out = tmp_path / "PARITY.json"
+    rc = run_parity.main(["--out", str(out), "--images", "2"])
+    summary = json.loads(out.read_text())
+    assert summary["ran"] == 0 and summary["ok"] is False
+    assert rc == 1
