@@ -176,8 +176,13 @@ def random_resized_crop_clips(
     """
     _check_norm_pair(mean, std)
     b, f, hgt, wid, c = clips.shape
-    if mode not in ("rc", "rctraj"):
-        assert hgt == out_size and wid == out_size, "mode=none needs pre-sized frames"
+    if mode not in ("rc", "rctraj", "none"):
+        # a typo must not silently disable augmentation (mirrors the
+        # trainer-level guard, training/trainer.py)
+        raise ValueError(f"mode must be 'rc'|'rctraj'|'none', got {mode!r}")
+    if mode == "none":
+        if hgt != out_size or wid != out_size:
+            raise ValueError("mode='none' needs pre-sized frames")
         x = clips.astype(compute_dtype)
         if mean is not None:
             m = jnp.asarray(mean, dtype=compute_dtype)

@@ -209,9 +209,21 @@ class R3MRewardModel:
         )
 
     def __call__(self, images0, images_t, sentences: Sequence[str]) -> jax.Array:
-        return self.get_reward(
-            self.embed(images0), self.embed(images_t), sentences
-        )
+        # one stacked [2B, ...] encoder pass: per-call dispatch + H2D
+        # overhead dominates at robot-control batch sizes, so don't pay it
+        # twice for two same-shaped image batches
+        obs0 = np.asarray(images0, dtype=np.float32)
+        obs_t = np.asarray(images_t, dtype=np.float32)
+        if obs0.ndim == 3:
+            obs0 = obs0[None]
+        if obs_t.ndim == 3:
+            obs_t = obs_t[None]
+        if obs0.shape == obs_t.shape:
+            both = self._encoder(np.concatenate([obs0, obs_t], axis=0))
+            e0, es = both[: obs0.shape[0]], both[obs0.shape[0]:]
+        else:
+            e0, es = self._encoder(obs0), self._encoder(obs_t)
+        return self.get_reward(e0, es, sentences)
 
     def reward_curve(self, frames, sentence: str) -> jax.Array:
         """Per-frame progress rewards along one trajectory.

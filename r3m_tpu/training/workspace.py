@@ -104,9 +104,9 @@ class Workspace:
         # ---- model config -------------------------------------------------
         mcfg = agent_to_r3m_config(cfg["agent"])
         if cfg.get("compute_dtype"):
-            mcfg = mcfg.__class__(
-                **{**mcfg.__dict__, "compute_dtype": cfg["compute_dtype"]}
-            )
+            import dataclasses
+
+            mcfg = dataclasses.replace(mcfg, compute_dtype=cfg["compute_dtype"])
         self.model_cfg: R3MConfig = mcfg
 
         # ---- language stack ----------------------------------------------
@@ -195,12 +195,12 @@ class Workspace:
             bert_cfg=self.bert_cfg,
         )
         self.state = create_train_state(self.model_cfg, self.key)
-        if self.mesh is not None:
-            self.state = replicate(self.mesh, self.state)
 
         self.timer = Timer()
 
         # ---- resume ---------------------------------------------------------
+        # (the snapshot loaders only use self.state as a host-side
+        # shape/dtype template, so mesh replication waits until after)
         if cfg.get("load_snap"):
             print("LOADING", cfg["load_snap"])
             if str(cfg["load_snap"]).endswith(".pt"):
@@ -338,6 +338,7 @@ class Workspace:
         prof_n = int(cfg.get("profile_steps", 5))
         prof_active = False
         pending = []  # [(step, device metrics dict, sample_s, update_s)]
+        win_t0 = time.time()  # window wall clock -> true per-step time
         while until(self.global_step) and not self._stop_requested:
             if prof_dir and not prof_active and self.global_step == prof_start:
                 jax.profiler.start_trace(prof_dir)
@@ -357,12 +358,14 @@ class Workspace:
                 prof_dir = ""  # one capture per run
                 print(f"profile trace written: {cfg.get('profile_dir')}")
             if len(pending) >= flush_n:
-                self._flush_train_metrics(pending)
+                self._flush_train_metrics(pending, win_t0)
                 pending = []
+                win_t0 = time.time()
 
             if every(step - 1):
-                self._flush_train_metrics(pending)
+                self._flush_train_metrics(pending, win_t0)
                 pending = []
+                win_t0 = time.time()
                 eval_batch = self._place(next(self.val_pipe))
                 ekey = jax.random.fold_in(jax.random.PRNGKey(0), step)
                 if self.mesh is not None:
@@ -378,30 +381,41 @@ class Workspace:
                 print("EVAL", step, emetrics)
                 if cfg.get("snapshot", True) and self.is_lead:
                     self.save_snapshot()
+                win_t0 = time.time()  # don't bill eval/snapshot to steps
         if prof_active:
             # training ended inside the capture window — close the trace so
             # the data is written and the profiler session isn't left open
             self.state = jax.block_until_ready(self.state)
             jax.profiler.stop_trace()
             print(f"profile trace written: {cfg.get('profile_dir')}")
-        self._flush_train_metrics(pending)
+        self._flush_train_metrics(pending, win_t0)
         self.logger.dump(self.global_step)
 
-    def _flush_train_metrics(self, pending):
+    def _flush_train_metrics(self, pending, win_t0=None):
         """One batched D2H fetch for a window of per-step metric dicts."""
         if not pending:
             return
         fetched = jax.device_get([m for _, m, _, _ in pending])
+        # Steps run asynchronously: sample_time is the host's wait for the
+        # input queue and update_time only the dispatch cost — the device
+        # work lands at the blocking fetch above. step_time is the honest
+        # figure: window wall clock (including that fetch) per step. The
+        # reference's synchronous prints (train_representation.py:110)
+        # correspond to step_time, not update_time.
+        step_s = (time.time() - win_t0) / len(pending) if win_t0 else None
         for (step, _, sample_s, update_s), metrics in zip(pending, fetched):
             metrics = {k: float(v) for k, v in metrics.items()}
-            # host-side timings as metrics (the reference only prints them,
-            # train_representation.py:110) — CSV/wandb get the full record
             metrics["sample_time"] = sample_s
             metrics["update_time"] = update_s
+            if step_s is not None:
+                metrics["step_time"] = step_s
             self.logger.log_metrics(metrics, step, ty="train")
             if step % 10 == 0:
                 print(step, metrics)
-                print(f"Sample time {sample_s}, Update time {update_s}")
+                print(
+                    f"Sample time {sample_s}, Update time {update_s}"
+                    + (f", Step time {step_s:.4f}" if step_s is not None else "")
+                )
                 self.logger.dump(step, ty="train")
 
     def save_snapshot(self) -> str:

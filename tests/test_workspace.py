@@ -62,6 +62,14 @@ def test_workspace_train_eval_snapshot_resume(dataset_root, tmp_path):
     # CSVs follow the run dir: an explicit work_dir overrides cfg.log_dir so
     # logs and snapshots never diverge
     assert os.path.exists(work / "train.csv")
+    # the honest wall-clock metric rides along (update_time is dispatch-only
+    # under deferred metric readout; step_time is window wall / steps)
+    import csv as _csv
+
+    with open(work / "train.csv") as f:
+        rows = list(_csv.DictReader(f))
+    assert rows and "step_time" in rows[0]
+    assert all(float(r["step_time"]) > 0 for r in rows)
 
     # auto-resume picks up global step (last snapshot was post-update step 3)
     ws2 = Workspace(cfg, work_dir=str(work))
@@ -389,8 +397,8 @@ def test_graceful_stop_writes_final_snapshot(dataset_root, tmp_path):
     ws._stop_requested = False  # now stop from inside the loop instead
     orig_flush = ws._flush_train_metrics
 
-    def hook(pending):
-        orig_flush(pending)
+    def hook(pending, win_t0=None):
+        orig_flush(pending, win_t0)
         if ws.global_step >= 3:
             ws.request_stop()
 
