@@ -322,15 +322,27 @@ void r3m_pipeline_destroy(void* handle) {
 
 // Submit one batch of `n` frame paths (n must equal batch_frames).
 // Blocks while `depth` batches are already in flight (backpressure).
-// Returns 0 on success, -1 on bad n.
+// Returns 0 on success, -1 on bad n, -2 while stopping, -3 on allocation
+// failure (the claimed slot is retired as an all-failed batch so the ring
+// ordering and destroy() predicates stay intact; a C++ exception must never
+// unwind across the extern "C"/ctypes boundary — that's UB, in practice
+// std::terminate with no Python traceback).
+static void submit_frame(Pipeline* p, BatchJob* job, int i, size_t frame);
+
 int r3m_pipeline_submit(void* handle, const char** paths, int n) {
   Pipeline* p = static_cast<Pipeline*>(handle);
   if (n != p->frames) return -1;
 
-  auto* job = new BatchJob();
-  job->p = p;
-  job->paths.reserve(n);
-  for (int i = 0; i < n; ++i) job->paths.emplace_back(paths[i]);
+  BatchJob* job = nullptr;
+  try {
+    job = new BatchJob();
+    job->p = p;
+    job->paths.reserve(n);
+    for (int i = 0; i < n; ++i) job->paths.emplace_back(paths[i]);
+  } catch (const std::exception&) {  // bad_alloc: no pipeline state touched yet
+    delete job;
+    return -3;
+  }
   job->remaining.store(n);
 
   const size_t frame = static_cast<size_t>(p->H) * p->W * 3;
@@ -353,29 +365,43 @@ int r3m_pipeline_submit(void* handle, const char** paths, int n) {
       p->free_bufs.pop_back();
     }
   }
-  job->buf.resize(frame * n);
+  try {
+    job->buf.resize(frame * n);
+  } catch (const std::exception&) {
+    // retire the claimed seq as an all-failed batch (fetch zero-fills an
+    // undersized buffer) so in_flight == ready.size() still converges
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->ready.push_back(Batch{job->seq, std::move(job->buf), n});
+    p->active_submits -= 1;
+    p->cv.notify_all();
+    delete job;
+    return -3;
+  }
 
-  for (int i = 0; i < n; ++i) {
-    p->pool.submit([job, i, frame] {
-      Pipeline* p = job->p;
-      uint8_t* dst = job->buf.data() + frame * i;
-      if (!decode_file(job->paths[i].c_str(), dst, p->H, p->W)) {
-        std::memset(dst, 0, frame);
-        job->failed.fetch_add(1);
-      }
-      if (job->remaining.fetch_sub(1) == 1) {  // last frame of the batch
-        {
-          std::unique_lock<std::mutex> lk(p->mu);
-          p->ready.push_back(
-              Batch{job->seq, std::move(job->buf), job->failed.load()});
-          // notify UNDER the lock: destroy() may delete the Pipeline the
-          // moment its predicate holds, so touching p->cv after unlocking
-          // would be a use-after-free
-          p->cv.notify_all();
-        }
-        delete job;
-      }
-    });
+  int submitted = 0;
+  try {
+    for (int i = 0; i < n; ++i, ++submitted) {
+      submit_frame(p, job, i, frame);
+    }
+  } catch (const std::exception&) {
+    // std::function/queue allocation failed mid-loop: the frames never
+    // handed to the pool are zero-filled failures; if that makes the batch
+    // complete here, publish it exactly like the last worker would
+    const int rest = n - submitted;
+    std::memset(job->buf.data() + frame * submitted, 0,
+                frame * static_cast<size_t>(rest));
+    job->failed.fetch_add(rest);
+    if (job->remaining.fetch_sub(rest) == rest) {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->ready.push_back(
+          Batch{job->seq, std::move(job->buf), job->failed.load()});
+      p->cv.notify_all();
+      delete job;
+    }
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->active_submits -= 1;
+    p->cv.notify_all();
+    return -3;
   }
   {
     std::unique_lock<std::mutex> lk(p->mu);
@@ -383,6 +409,31 @@ int r3m_pipeline_submit(void* handle, const char** paths, int n) {
     p->cv.notify_all();
   }
   return 0;
+}
+
+// One frame's decode task; factored out so the submit loop above can wrap
+// pool handoff in a try/catch without nesting the whole lambda.
+static void submit_frame(Pipeline* p, BatchJob* job, int i, size_t frame) {
+  p->pool.submit([job, i, frame] {
+    Pipeline* p = job->p;
+    uint8_t* dst = job->buf.data() + frame * i;
+    if (!decode_file(job->paths[i].c_str(), dst, p->H, p->W)) {
+      std::memset(dst, 0, frame);
+      job->failed.fetch_add(1);
+    }
+    if (job->remaining.fetch_sub(1) == 1) {  // last frame of the batch
+      {
+        std::unique_lock<std::mutex> lk(p->mu);
+        p->ready.push_back(
+            Batch{job->seq, std::move(job->buf), job->failed.load()});
+        // notify UNDER the lock: destroy() may delete the Pipeline the
+        // moment its predicate holds, so touching p->cv after unlocking
+        // would be a use-after-free
+        p->cv.notify_all();
+      }
+      delete job;
+    }
+  });
 }
 
 // Copy the NEXT batch (submit order) into out. Blocks until ready.
@@ -416,8 +467,13 @@ int r3m_pipeline_fetch(void* handle, uint8_t* out) {
     }
     p->in_flight -= 1;
   }
-  std::memcpy(out, buf.data(),
-              static_cast<size_t>(p->frames) * p->H * p->W * 3);
+  const size_t want = static_cast<size_t>(p->frames) * p->H * p->W * 3;
+  if (buf.size() >= want) {
+    std::memcpy(out, buf.data(), want);
+  } else {
+    // allocation-failed batch retired by submit: no pixel data exists
+    std::memset(out, 0, want);
+  }
   {
     std::unique_lock<std::mutex> lk(p->mu);
     if (p->free_bufs.size() < static_cast<size_t>(p->depth))
@@ -448,18 +504,30 @@ int r3m_decode_batch(void* handle, const char** paths, int n, uint8_t* out,
   std::condition_variable cv;
 
   const size_t frame = static_cast<size_t>(H) * W * 3;
-  for (int i = 0; i < n; ++i) {
-    d->pool.submit([&, i] {
-      uint8_t* dst = out + frame * i;
-      if (!decode_file(paths[i], dst, H, W)) {
-        std::memset(dst, 0, frame);
-        failed.fetch_add(1);
-      }
-      {
-        std::unique_lock<std::mutex> lk(mu);
-        if (++done == n) cv.notify_one();
-      }
-    });
+  int submitted = 0;
+  try {
+    for (int i = 0; i < n; ++i, ++submitted) {
+      d->pool.submit([&, i] {
+        uint8_t* dst = out + frame * i;
+        if (!decode_file(paths[i], dst, H, W)) {
+          std::memset(dst, 0, frame);
+          failed.fetch_add(1);
+        }
+        {
+          std::unique_lock<std::mutex> lk(mu);
+          if (++done == n) cv.notify_one();
+        }
+      });
+    }
+  } catch (const std::exception&) {
+    // pool handoff allocation failed: the never-submitted frames are
+    // zero-filled failures; the exception must not cross the C ABI
+    const int rest = n - submitted;
+    std::memset(out + frame * submitted, 0,
+                frame * static_cast<size_t>(rest));
+    failed.fetch_add(rest);
+    std::unique_lock<std::mutex> lk(mu);
+    done += rest;
   }
   std::unique_lock<std::mutex> lk(mu);
   cv.wait(lk, [&] { return done == n; });

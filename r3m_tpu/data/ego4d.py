@@ -66,7 +66,15 @@ class Ego4DDataset:
                 f"{bad['path'].tolist()[:5]}{'...' if len(bad) > 5 else ''}"
             )
         if num_shards > 1:
-            # host-level sharding for multi-process (multi-host) input
+            # host-level sharding for multi-process (multi-host) input.
+            # Checked pre-shard (it's the same predicate on every process):
+            # a shard with zero rows would crash only the starved hosts'
+            # producer threads while the rest hang in their first collective.
+            if len(manifest) < num_shards:
+                raise ValueError(
+                    f"manifest has {len(manifest)} rows but num_shards="
+                    f"{num_shards}: every host shard needs at least one clip"
+                )
             manifest = manifest.iloc[shard_index::num_shards].reset_index(drop=True)
         self.manifest = manifest
         self.alpha = alpha

@@ -110,28 +110,65 @@ def collective_cost_report(hlo_text: str) -> dict:
     import re
 
     shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
-    totals = {k: 0 for k in _COLLECTIVES}
-    counts = {k: 0 for k in _COLLECTIVES}
-    for line in hlo_text.splitlines():
-        m = re.search(
-            r"=\s+(\([^)]*\)|\S+)\s+(%s)(-start)?\(" % "|".join(_COLLECTIVES),
-            line,
-        )
-        if not m:
-            continue
-        result_type, kind, start = m.group(1), m.group(2), m.group(3)
-        shapes = []
-        for dt, dims in shape_re.findall(result_type):
+
+    def tuple_elements(t: str) -> list:
+        """Split a tuple type into top-level elements (depth-aware: XLA's
+        all-gather combiner emits nested tuples like
+        ``((f32[128], f32[256]), (f32[1024], f32[2048]))`` whose first
+        ``)`` is NOT the end of the type)."""
+        t = t.strip()
+        if not (t.startswith("(") and t.endswith(")")):
+            return [t]
+        parts, depth, cur = [], 0, []
+        # commas also appear inside shape dims `[7,7,3,64]` and layout
+        # annotations `{3,2,1,0}` — only depth-0 commas separate elements
+        for ch in t[1:-1]:
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+        return parts
+
+    def elem_bytes(elem: str) -> int:
+        total = 0
+        for dt, dims in shape_re.findall(elem):
             if dt not in _HLO_DTYPE_BYTES:
                 continue  # token[] / opaque[] etc.
             n = 1
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            shapes.append(n * _HLO_DTYPE_BYTES[dt])
-        if start and kind in ("all-gather", "collective-permute") and len(shapes) > 1:
-            shapes = shapes[1:2]  # skip the aliased input element
-        totals[kind] += sum(shapes)
+            total += n * _HLO_DTYPE_BYTES[dt]
+        return total
+
+    totals = {k: 0 for k in _COLLECTIVES}
+    counts = {k: 0 for k in _COLLECTIVES}
+    # non-greedy result-type capture: the type runs from '= ' to the op name
+    line_re = re.compile(
+        r"=\s+(.+?)\s+(%s)(-start)?\(" % "|".join(_COLLECTIVES)
+    )
+    for line in hlo_text.splitlines():
+        m = line_re.search(line)
+        if not m:
+            continue
+        result_type, kind, start = m.group(1), m.group(2), m.group(3)
+        elements = tuple_elements(result_type)
+        if (
+            start
+            and kind in ("all-gather", "collective-permute")
+            and len(elements) > 1
+        ):
+            # the first tuple element aliases the input operand(s) — count
+            # only the gathered/permuted outputs (+ negligible u32 contexts)
+            elements = elements[1:]
+        totals[kind] += sum(elem_bytes(e) for e in elements)
         counts[kind] += 1
     totals = {k: v for k, v in totals.items() if counts[k]}
     return {

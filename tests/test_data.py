@@ -66,6 +66,12 @@ def test_manifest_sharding_disjoint_and_covering(dataset_root):
         sizes = [len(s) for s in shards]
         assert max(sizes) - min(sizes) <= 1  # balanced host load
 
+    # more hosts than manifest rows must fail identically on EVERY process
+    # at construction (an empty shard would crash only the starved hosts'
+    # producer threads while the rest hang in their first collective)
+    with pytest.raises(ValueError, match="num_shards"):
+        Ego4DDataset(dataset_root, shard_index=0, num_shards=len(full) + 1)
+
 
 def test_frame_batcher_shapes(dataset_root):
     ds = Ego4DDataset(dataset_root, seed=1)

@@ -467,3 +467,27 @@ def test_place_host_batch_no_mesh():
     placed = place_host_batch(None, batch)
     assert isinstance(placed["clips"], jax.Array)
     assert placed["clips"].shape == batch["clips"].shape
+
+
+def test_collective_report_parses_variadic_tuples():
+    """XLA's all-gather combiner emits variadic -start ops whose result type
+    is a NESTED tuple; a naive first-')' parse counted one aliased input
+    buffer instead of all gathered outputs (review finding)."""
+    from r3m_tpu.parallel.mesh import collective_cost_report
+
+    hlo = "\n".join([
+        "  %ag = ((f32[128], f32[256]), (f32[1024], f32[2048]))"
+        " all-gather-start(...)",
+        "  %agd = ((f32[128], f32[256]), (f32[1024], f32[2048]))"
+        " all-gather-done(...)",
+        "  %ar = (f32[512], bf16[64]) all-reduce(...)",
+        "  %cp = (f32[64], f32[64], u32[], u32[]) collective-permute-start(...)",
+    ])
+    r = collective_cost_report(hlo)
+    # outputs only (second tuple element), not the aliased inputs; -done skipped
+    assert r["bytes"]["all-gather"] == (1024 + 2048) * 4
+    assert r["ops"]["all-gather"] == 1
+    # variadic all-reduce sums every element
+    assert r["bytes"]["all-reduce"] == 512 * 4 + 64 * 2
+    # collective-permute-start: output + two u32 context scalars
+    assert r["bytes"]["collective-permute"] == 64 * 4 + 8
