@@ -38,6 +38,29 @@ def cache_home() -> str:
     return os.environ.get("R3M_HOME", os.path.join(expanduser("~"), ".r3m"))
 
 
+def _parse_download_form(html: bytes):
+    """Extract (action URL, hidden params) from Drive's modern large-file
+    interstitial: a form targeting drive.usercontent.google.com/download
+    with hidden ``id``/``export``/``confirm``/``uuid`` inputs (the flow
+    current gdown implements; the cookie/inline-confirm dances below are
+    the legacy variants)."""
+    m = re.search(
+        rb"<form[^>]*action=\"([^\"]+)\"[^>]*>(.*?)</form>", html, re.S
+    )
+    if not m:
+        return None
+    action, body = m.group(1).decode(), m.group(2)
+    params = {
+        k.decode(): v.decode()
+        for k, v in re.findall(
+            rb"<input[^>]*name=\"([^\"]+)\"[^>]*value=\"([^\"]*)\"", body
+        )
+    }
+    if "confirm" not in params and "uuid" not in params:
+        return None  # some other form (e.g. a search box), not the download
+    return action, params
+
+
 def _drive_download(file_id: str, dest: str) -> None:
     """Download a public Drive file (gdown-equivalent confirm-token flow)."""
     import requests
@@ -57,9 +80,20 @@ def _drive_download(file_id: str, dest: str) -> None:
     first = b""
     if token is None:
         first = next(resp.iter_content(1 << 20), b"")
-        m = re.search(rb"confirm=([0-9A-Za-z_\-]+)", first)
-        if m:
-            token = m.group(1).decode()
+        if first.lstrip()[:1] == b"<":
+            form = _parse_download_form(first)
+            if form is not None:
+                action, params = form
+                params.setdefault("id", file_id)
+                params.setdefault("export", "download")
+                resp = sess.get(action, params=params, stream=True, timeout=60)
+                resp.raise_for_status()
+                first = b""
+                token = None
+            else:
+                m = re.search(rb"confirm=([0-9A-Za-z_\-]+)", first)
+                if m:
+                    token = m.group(1).decode()
     if token is not None:
         resp = sess.get(
             url,

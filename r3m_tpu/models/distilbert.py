@@ -236,15 +236,15 @@ def convert_distilbert(sd, cfg: DistilBertConfig = BASE) -> Pytree:
     """HF DistilBertModel state dict -> pytree (torch [out,in] -> [in,out])."""
     sd = _normalize_hf_state(sd)
 
-    def npa(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
-                          dtype=np.float32)
+    # one converter law shared with the ViT backbone (models/layers.py)
+    from r3m_tpu.models.layers import convert_layer_norm, convert_linear
+    from r3m_tpu.models.layers import torch_to_np as npa
 
     def lin(prefix):
-        return {"w": npa(sd[f"{prefix}.weight"]).T, "b": npa(sd[f"{prefix}.bias"])}
+        return convert_linear(sd, prefix)
 
     def ln(prefix):
-        return {"scale": npa(sd[f"{prefix}.weight"]), "bias": npa(sd[f"{prefix}.bias"])}
+        return convert_layer_norm(sd, prefix)
 
     params: Dict[str, Any] = {
         "embeddings": {

@@ -32,3 +32,29 @@ def dense(x, p, precision=None):
         preferred_element_type=jnp.float32,
     ) + p["b"]
     return out.astype(x.dtype)
+
+
+def torch_to_np(t):
+    """torch tensor / array-like -> float32 numpy (shared converter law)."""
+    import numpy as np
+
+    return np.asarray(
+        t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+        dtype=np.float32,
+    )
+
+
+def convert_linear(sd, prefix):
+    """HF torch ``{prefix}.weight/bias`` ([out, in]) -> dense pytree ([in, out])."""
+    return {
+        "w": torch_to_np(sd[f"{prefix}.weight"]).T,
+        "b": torch_to_np(sd[f"{prefix}.bias"]),
+    }
+
+
+def convert_layer_norm(sd, prefix):
+    """HF torch LayerNorm ``{prefix}.weight/bias`` -> layer_norm pytree."""
+    return {
+        "scale": torch_to_np(sd[f"{prefix}.weight"]),
+        "bias": torch_to_np(sd[f"{prefix}.bias"]),
+    }

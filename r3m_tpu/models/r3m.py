@@ -109,6 +109,12 @@ class R3MConfig:
         return resnet_out_dim(self.size)
 
     @property
+    def resize_to(self) -> int:
+        """Pre-crop resize edge: torchvision's Resize(256)+CenterCrop(224)
+        serving law scaled to the configured crop (models_r3m.py:90)."""
+        return max(1, round(self.image_size * 256 / 224))
+
+    @property
     def norm_stats(self) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
         if self.size == 0:
             return VIT_MEAN, VIT_STD
@@ -176,7 +182,7 @@ def r3m_embed(
             mean,
             std,
             crop_size=cfg.image_size,
-            resize_to=max(1, round(cfg.image_size * 256 / 224)),
+            resize_to=cfg.resize_to,
         )
     if cfg.size == 0:
         from r3m_tpu.models.vit import vit_b32_apply
@@ -292,7 +298,7 @@ class R3MEncoder:
                 obs = nchw_to_nhwc(obs_nchw)
                 x = r3m_preprocess(
                     obs, mean, std, crop_size=cfg.image_size,
-                    resize_to=max(1, round(cfg.image_size * 256 / 224)),
+                    resize_to=cfg.resize_to,
                 )
                 return resnet_apply_folded(
                     folded, x, size=cfg.size,
@@ -354,7 +360,10 @@ class R3MEncoder:
         """NCHW [0,255] images -> [B, out_dim]. `num_ims`/`obs_shape` are
         accepted for reference-signature compatibility (models_r3m.py:84)
         — shape handling here is automatic."""
-        obs = np.asarray(obs)
+        if not isinstance(obs, (np.ndarray, jax.Array)):
+            # torch tensors / lists; an already-on-device jax.Array must NOT
+            # round-trip through host memory just for the shape checks below
+            obs = np.asarray(obs)
         if obs.ndim == 3:
             obs = obs[None]
         if obs.ndim != 4 or obs.shape[1] != 3:

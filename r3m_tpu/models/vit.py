@@ -40,6 +40,10 @@ B32 = ViTConfig()
 
 
 def _linear_init(key, fan_in, fan_out, std=0.02):
+    # NOTE: deliberately NOT shared with distilbert._linear_init (which
+    # splits its key first) — golden-pin tests fix each backbone's seeded
+    # random init, so unifying the key plumbing would shift pinned numerics
+    # for zero functional gain (real weights always come from conversion).
     return {
         "w": jax.random.normal(key, (fan_in, fan_out)) * std,
         "b": jnp.zeros((fan_out,)),
@@ -190,12 +194,19 @@ def vit_config_from_state(sd) -> ViTConfig:
     """
     import re
 
-    n_layers = 1 + max(
+    layer_ids = [
         int(m.group(1))
         for k in sd
         for m in [re.match(r"encoder\.layer\.(\d+)\.", k)]
         if m
-    )
+    ]
+    if not layer_ids:
+        # a bare max() on the empty generator raises an opaque ValueError
+        raise ValueError(
+            "state dict has no encoder.layer.* keys — expected an HF "
+            "ViTModel layout (a truncated or differently-prefixed save?)"
+        )
+    n_layers = 1 + max(layer_ids)
     w = sd["embeddings.patch_embeddings.projection.weight"]  # OIHW
     dim, patch = int(w.shape[0]), int(w.shape[2])
     hidden = int(sd["encoder.layer.0.intermediate.dense.weight"].shape[0])
@@ -231,16 +242,15 @@ def require_b32_geometry(cfg: ViTConfig) -> None:
 def convert_vit(sd, cfg: ViTConfig = B32) -> Pytree:
     """HF ViTModel state dict -> pytree (torch OIHW conv -> HWIO; [out,in] -> [in,out])."""
 
-    def npa(t):
-        return np.asarray(
-            t.detach().cpu().numpy() if hasattr(t, "detach") else t, dtype=np.float32
-        )
+    # one converter law shared with the DistilBERT backbone (models/layers.py)
+    from r3m_tpu.models.layers import convert_layer_norm, convert_linear
+    from r3m_tpu.models.layers import torch_to_np as npa
 
     def lin(prefix):
-        return {"w": npa(sd[f"{prefix}.weight"]).T, "b": npa(sd[f"{prefix}.bias"])}
+        return convert_linear(sd, prefix)
 
     def ln(prefix):
-        return {"scale": npa(sd[f"{prefix}.weight"]), "bias": npa(sd[f"{prefix}.bias"])}
+        return convert_layer_norm(sd, prefix)
 
     params: Dict[str, Any] = {
         "patch": {

@@ -59,8 +59,19 @@ def make_optimizer(cfg: R3MConfig) -> optax.GradientTransformation:
         return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     if cfg.optimizer == "lars":
         # large-batch scale-out (PAPERS.md: ResNet-50-in-15-min class
-        # training uses layer-wise trust-ratio scaling at batch >= 4k)
-        return optax.lars(lr, weight_decay=cfg.weight_decay)
+        # training uses layer-wise trust-ratio scaling at batch >= 4k).
+        # Those recipes exempt BatchNorm params and biases from BOTH the
+        # trust ratio and weight decay (You et al. §3, Goyal et al. §5.1);
+        # every such leaf here is 1-D, every conv/linear kernel is >=2-D.
+        def _weight_mask(params):
+            return jax.tree_util.tree_map(lambda p: jnp.ndim(p) > 1, params)
+
+        return optax.lars(
+            lr,
+            weight_decay=cfg.weight_decay,
+            weight_decay_mask=_weight_mask,
+            trust_ratio_mask=_weight_mask,
+        )
     raise ValueError(f"optimizer must be 'adam'|'lars', got {cfg.optimizer!r}")
 
 

@@ -106,7 +106,7 @@ def _install_fake_requests(monkeypatch, responses, log):
 
     class _Session:
         def get(self, url, params=None, stream=False, timeout=None):
-            log.append(dict(params or {}))
+            log.append({"url": url, **dict(params or {})})
             return responses.pop(0)
 
     mod = types.ModuleType("requests")
@@ -175,3 +175,43 @@ def test_cache_home_env_override(tmp_path, monkeypatch):
     assert fetch.cache_home() == str(tmp_path / "alt")
     monkeypatch.delenv("R3M_HOME")
     assert fetch.cache_home().endswith("/.r3m")
+
+
+def test_drive_download_modern_form_interstitial(tmp_path, monkeypatch):
+    """The current Drive large-file flow: an HTML form targeting
+    drive.usercontent.google.com with hidden confirm/uuid inputs (what
+    today's gdown implements). The fetch must submit the form's action URL
+    with ALL its hidden params and write only the real payload."""
+    interstitial = (
+        b"<html><body>"
+        b"<form id=\"download-form\" "
+        b"action=\"https://drive.usercontent.google.com/download\" method=\"get\">"
+        b"<input type=\"hidden\" name=\"id\" value=\"FILEID\">"
+        b"<input type=\"hidden\" name=\"export\" value=\"download\">"
+        b"<input type=\"hidden\" name=\"confirm\" value=\"t\">"
+        b"<input type=\"hidden\" name=\"uuid\" value=\"abc-123\">"
+        b"</form></body></html>"
+    )
+    body = b"PK\x03\x04zip-payload-bytes"
+    log = []
+    _install_fake_requests(
+        monkeypatch, [_FakeResponse(interstitial), _FakeResponse(body)], log
+    )
+    dest = tmp_path / "model.pt"
+    fetch._drive_download("FILEID", str(dest))
+    assert dest.read_bytes() == body
+    assert log[1]["url"] == "https://drive.usercontent.google.com/download"
+    assert log[1]["confirm"] == "t" and log[1]["uuid"] == "abc-123"
+    assert log[1]["id"] == "FILEID"
+
+
+def test_parse_download_form_ignores_non_download_forms():
+    """A search-box form without confirm/uuid params must not be mistaken
+    for the download form (the legacy inline-confirm fallback handles it)."""
+    html = (
+        b"<html><form action=\"/search\">"
+        b"<input name=\"q\" value=\"\"></form>"
+        b"<a href=\"/uc?export=download&confirm=tok9&id=F\">Download anyway</a>"
+        b"</html>"
+    )
+    assert fetch._parse_download_form(html) is None
