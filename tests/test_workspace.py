@@ -111,6 +111,91 @@ def test_workspace_multichip_mesh(dataset_root, tmp_path):
         ws.close()
 
 
+def test_elastic_resume_across_mesh_sizes(dataset_root, tmp_path):
+    """A snapshot from a 1-device run resumes bit-identically on an
+    8-device mesh, and that run's snapshot resumes back on 1 device.
+
+    Preempted pods can come back at a different scale; because snapshots
+    are canonical host arrays (checkpoint.canonicalize_train_tree), the
+    mesh size at save time must leave no trace in the file. With
+    agent.size=18 + adam this also round-trips the packed-BN layout
+    through a mesh change (pack on load happens per-run, not per-file).
+    """
+    import jax
+
+    from r3m_tpu.checkpoint import canonicalize_train_tree, load_snapshot
+    from r3m_tpu.training.workspace import Workspace
+
+    work = tmp_path / "elastic"
+    work.mkdir()
+
+    def cfg_for(n_devices: int, train_steps: int, eval_freq: int):
+        return load_config(
+            os.path.join(
+                os.path.dirname(__file__), "..", "cfgs", "config_rep.yaml"
+            ),
+            overrides=[
+                f"datapath={dataset_root}",
+                f"log_dir={work}",
+                "batch_size=8",
+                f"train_steps={train_steps}",
+                f"eval_freq={eval_freq}",  # snapshots ride eval events
+                "num_workers=2",
+                "agent.size=18",
+                "agent.langweight=0.0",
+                "compute_dtype=float32",
+                f"n_devices={n_devices}",
+            ],
+        )
+
+    # eval (hence snapshot) fires at steps 1 and 3 — final step included
+    ws = Workspace(cfg_for(1, 3, 2), work_dir=str(work))
+    try:
+        ws.train()
+        assert ws.global_step == 3
+    finally:
+        ws.close()
+    saved, meta = load_snapshot(str(work / "snapshot.npz"))
+    assert meta["global_step"] == 3
+
+    # resume on the full virtual 8-device mesh: exact restore, then 1 step
+    ws2 = Workspace(cfg_for(8, 4, 1), work_dir=str(work))
+    try:
+        assert ws2.mesh is not None and ws2.mesh.devices.shape == (8,)
+        assert ws2.global_step == 3
+        restored = canonicalize_train_tree(
+            {
+                "params": ws2.state.params,
+                "batch_stats": ws2.state.batch_stats,
+                "opt_state": ws2.state.opt_state,
+                "key": ws2.state.key,
+            }
+        )
+        # container types differ (npz unflattens to dicts/lists, the live
+        # state holds optax namedtuples) but leaf order is the alignment
+        # restore_like itself relies on — compare leaves positionally
+        leaves_a = jax.tree_util.tree_leaves(saved)
+        leaves_b = jax.tree_util.tree_leaves(restored)
+        assert len(leaves_a) == len(leaves_b)
+        for i, (a, b) in enumerate(zip(leaves_a, leaves_b)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"leaf {i}"
+            )
+        ws2.train()
+        assert ws2.global_step == 4
+    finally:
+        ws2.close()
+
+    # and back down: the 8-device run's snapshot resumes on 1 device
+    ws3 = Workspace(cfg_for(1, 4, 1), work_dir=str(work))
+    try:
+        assert ws3.global_step == 4
+        for leaf in jax.tree_util.tree_leaves(ws3.state.params):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+    finally:
+        ws3.close()
+
+
 def test_workspace_multihost_input_wiring(dataset_root, tmp_path, monkeypatch):
     """Mocked 2-process run: local batch slicing, manifest sharding, lead-only
     logging/snapshots."""
