@@ -77,5 +77,10 @@ def op_profile_summary(log_dir: str, top: int = 12) -> List[Tuple]:
 
 
 def print_op_profile(log_dir: str, top: int = 12) -> None:
-    for frac, tf, gb, occ, name in op_profile_summary(log_dir, top):
+    rows = op_profile_summary(log_dir, top)
+    if not rows:
+        # CPU traces carry no per-op metrics; say so instead of printing
+        # nothing (an empty table reads like a parser failure).
+        print(f"(no per-op metrics in trace under {log_dir} — TPU-only data)")
+    for frac, tf, gb, occ, name in rows:
         print(f"{100*frac:5.1f}%  {tf:6.1f} TF/s  {gb:6.0f} GB/s  x{occ:5d}  {name}")

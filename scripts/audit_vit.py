@@ -32,6 +32,13 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# Some images initialize JAX from sitecustomize at interpreter start, which
+# consumes JAX_PLATFORMS before user scripts run — re-apply it so
+# `JAX_PLATFORMS=cpu python scripts/audit_vit.py` really runs on CPU
+# (same guard as train_representation.py:_honor_jax_platforms_env).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def _sync(x):
     return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
