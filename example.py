@@ -14,14 +14,13 @@ import numpy as np
 
 
 def main():
-    import os
-
     import jax
 
-    # sitecustomize may consume JAX_PLATFORMS at interpreter start; re-apply
+    from r3m_tpu.utils.misc import honor_jax_platforms_env
+
+    # sitecustomize consumes JAX_PLATFORMS at interpreter start; re-apply
     # so `JAX_PLATFORMS=cpu python example.py` really runs on CPU.
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    honor_jax_platforms_env()
 
     from r3m_tpu import R3MConfig, R3MEncoder, load_r3m
     from r3m_tpu.models.r3m import r3m_init

@@ -190,6 +190,15 @@ def load_r3m_from_snapshot(path: str, mesh=None) -> R3MEncoder:
     from r3m_tpu.checkpoint import load_snapshot, r3m_config_from_meta
 
     tree, meta = load_snapshot(path)
+    if not meta.get("config"):
+        # without it r3m_config_from_meta would silently default to
+        # resnet50 and fail deep in BN folding on any other backbone
+        raise ValueError(
+            f"snapshot {path!r} carries no 'config' metadata; write it via "
+            "workspace snapshots or save_snapshot(..., meta={'config': "
+            "dataclasses.asdict(cfg), ...}) so the architecture can be "
+            "rebuilt"
+        )
     # serving is always f32 regardless of the training compute dtype
     cfg = r3m_config_from_meta(meta, langweight=0, compute_dtype="float32")
     return R3MEncoder(

@@ -330,6 +330,9 @@ def main(argv=None) -> int:
 
     import numpy as np
 
+    from r3m_tpu.utils.misc import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=main.__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     tn = sub.add_parser("to-native", help="torch snapshot/model.pt -> .npz")

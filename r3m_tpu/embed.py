@@ -91,6 +91,9 @@ def load_encoder(args):
 
 
 def main(argv=None) -> str:
+    from r3m_tpu.utils.misc import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("inputs", nargs="+", help="image files and/or directories")
     p.add_argument("--out", required=True, help="output .npz path")

@@ -599,6 +599,13 @@ def fold_batchnorm(params: Pytree, state: Pytree, size: int, eps=1e-5) -> Pytree
     }
     for stage, num_blocks in enumerate(spec.stage_sizes):
         name = f"layer{stage + 1}"
+        have = len(params.get(name, ()))
+        if have != num_blocks:
+            raise ValueError(
+                f"resnet{size} expects {num_blocks} blocks in {name}, "
+                f"params have {have} — the weights were saved from a "
+                "different backbone than cfg.size claims"
+            )
         blocks = []
         for b in range(num_blocks):
             p, s = params[name][b], state[name][b]

@@ -55,6 +55,9 @@ def prepare(model_name: str, out_dir: str) -> None:
 
 
 def main(argv=None):
+    from r3m_tpu.utils.misc import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="distilbert-base-uncased")
     p.add_argument("--out", required=True)

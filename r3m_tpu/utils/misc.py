@@ -10,6 +10,7 @@ utilities find them here.
 
 from __future__ import annotations
 
+import os
 import random
 import re
 import time
@@ -19,6 +20,19 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def honor_jax_platforms_env() -> None:
+    """Re-apply ``JAX_PLATFORMS`` after interpreter start.
+
+    Some images initialize JAX from sitecustomize, which consumes the env
+    var before user code runs — ``JAX_PLATFORMS=cpu python -m r3m_tpu.embed``
+    would silently land on the default (TPU) backend. Every CLI entry point
+    calls this first so the documented env var actually works. No-op when
+    the var is unset or the backend already matches.
+    """
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def set_seed_everywhere(seed: int) -> jax.Array:

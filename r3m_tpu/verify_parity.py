@@ -319,6 +319,9 @@ def verify_parity(
 
 
 def main(argv=None) -> int:
+    from r3m_tpu.utils.misc import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(
         prog="python -m r3m_tpu.verify_parity", description=__doc__
     )

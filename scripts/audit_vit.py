@@ -32,12 +32,11 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-# Some images initialize JAX from sitecustomize at interpreter start, which
-# consumes JAX_PLATFORMS before user scripts run — re-apply it so
-# `JAX_PLATFORMS=cpu python scripts/audit_vit.py` really runs on CPU
-# (same guard as train_representation.py:_honor_jax_platforms_env).
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+from r3m_tpu.utils.misc import honor_jax_platforms_env  # noqa: E402
+
+# sitecustomize consumes JAX_PLATFORMS at interpreter start — re-apply it so
+# `JAX_PLATFORMS=cpu python scripts/audit_vit.py` really runs on CPU.
+honor_jax_platforms_env()
 
 
 def _sync(x):

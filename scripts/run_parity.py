@@ -60,12 +60,11 @@ def run_sweep(images: int = 8, seed: int = 0) -> dict:
 
 
 def main(argv=None) -> int:
-    # sitecustomize may consume JAX_PLATFORMS at interpreter start; re-apply
+    # sitecustomize consumes JAX_PLATFORMS at interpreter start; re-apply
     # so `JAX_PLATFORMS=cpu python scripts/run_parity.py` runs on CPU.
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
+    from r3m_tpu.utils.misc import honor_jax_platforms_env
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="PARITY.json")
     p.add_argument("--images", type=int, default=8)

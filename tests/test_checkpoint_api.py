@@ -589,3 +589,36 @@ def test_config_from_meta_coerces_stale_levers():
     assert r3m_config_from_meta(
         {"config": {"size": 0, "vit_fused_attn": True}}
     ).vit_fused_attn is True
+
+
+def test_snapshot_without_config_meta_raises(tmp_path):
+    """A snapshot lacking 'config' metadata must fail loudly at load time —
+    r3m_config_from_meta would otherwise silently default to resnet50 and
+    die with a bare IndexError inside BN folding for any other backbone."""
+    from r3m_tpu import load_r3m_from_snapshot
+    from r3m_tpu.checkpoint import save_snapshot
+    from r3m_tpu.models.r3m import r3m_init
+
+    cfg = R3MConfig(size=18, langweight=0, image_size=32)
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "no_config.npz")
+    save_snapshot(
+        path,
+        {"params": state["params"], "batch_stats": state["batch_stats"]},
+        meta={"global_step": 0},
+    )
+    with pytest.raises(ValueError, match="no 'config' metadata"):
+        load_r3m_from_snapshot(path)
+
+
+def test_fold_batchnorm_rejects_backbone_mismatch():
+    """fold_batchnorm names the size/params mismatch instead of IndexError."""
+    from r3m_tpu.models.r3m import r3m_init
+    from r3m_tpu.models.resnet import fold_batchnorm
+
+    cfg = R3MConfig(size=18, langweight=0, image_size=32)
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="resnet50 expects"):
+        fold_batchnorm(
+            state["params"]["convnet"], state["batch_stats"], size=50
+        )

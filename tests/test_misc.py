@@ -46,3 +46,19 @@ def test_soft_update_and_eval_mode():
     np.testing.assert_allclose(np.asarray(out["w"]), 0.25)
     with eval_mode("anything"):
         pass
+
+
+def test_honor_jax_platforms_env(monkeypatch):
+    """The shared CLI guard re-applies JAX_PLATFORMS into jax.config
+    (sitecustomize consumes the env var before user code runs)."""
+    import jax
+
+    from r3m_tpu.utils.misc import honor_jax_platforms_env
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    honor_jax_platforms_env()
+    assert jax.config.jax_platforms == "cpu"
+    # unset -> no-op, config untouched
+    monkeypatch.delenv("JAX_PLATFORMS")
+    honor_jax_platforms_env()
+    assert jax.config.jax_platforms == "cpu"

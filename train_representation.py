@@ -15,17 +15,14 @@ import sys
 
 
 def _honor_jax_platforms_env():
-    """Re-apply JAX_PLATFORMS after the fact.
+    """Re-apply JAX_PLATFORMS after the fact (sitecustomize consumes it).
 
-    Some images initialize JAX from sitecustomize at interpreter start,
-    which consumes the env var before user scripts run — `JAX_PLATFORMS=cpu
-    python train_representation.py` would silently land on the accelerator.
-    jax.config still wins because backends initialize lazily.
+    Delegates to the shared helper every r3m_tpu CLI uses; kept as a local
+    name because main() calls it before any other r3m_tpu import.
     """
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
+    from r3m_tpu.utils.misc import honor_jax_platforms_env
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    honor_jax_platforms_env()
 
 
 def _maybe_init_distributed(cfg):
