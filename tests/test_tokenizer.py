@@ -64,3 +64,46 @@ def test_batch_padding_fixed_and_dynamic(vocab_file):
     ids_t, mask_t = tok.encode_batch([long], max_len=8)
     assert ids_t[0, 7] == tok.sep_id
     assert mask_t[0].sum() == 8
+
+
+def test_fuzz_matches_hf_on_random_unicode(tmp_path):
+    """Seeded fuzz: 300 random mixed-unicode strings tokenize identically to
+    the genuine transformers.BertTokenizer on a shared vocab (letters with
+    ## continuations so WordPiece segmentation actually exercises, plus
+    accents, CJK, punctuation, controls, emoji, and exotic whitespace)."""
+    import random
+    import string
+
+    from transformers import BertTokenizer
+
+    letters = list(string.ascii_lowercase)
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    toks += letters + [f"##{c}" for c in letters]
+    toks += [f"##{a}{b}" for a in "aeist" for b in "nrse"]
+    toks += ["the", "##ing", "##ed", "知", "道", ",", ".", "-"]
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join(dict.fromkeys(toks)) + "\n")
+
+    hf = BertTokenizer(vocab_file=str(vocab_path), do_lower_case=True)
+    ours = WordPieceTokenizer(vocab_file=str(vocab_path))
+
+    pools = [
+        string.ascii_letters,
+        string.digits,
+        string.punctuation,
+        "éàüñÅçøÉİı",                    # latin accents (NFD strip paths)
+        "知道水火山",                      # CJK (space-padded both sides)
+        "αβГдشم",                        # greek/cyrillic/arabic (non-latin words)
+        " \t\n  　",       # ascii + Zs unicode whitespace
+        "\x01\x7f�",                # controls + replacement char
+        "😀🤖✅",                          # emoji/symbols (So)
+        "²½™μ",                          # numeric-ish/symbol oddballs
+    ]
+    rng = random.Random(1234)
+    for case in range(300):
+        s = "".join(
+            rng.choice(rng.choice(pools))
+            for _ in range(rng.randrange(0, 40))
+        )
+        assert ours.tokenize(s) == hf.tokenize(s), repr(s)
+        assert ours.encode(s) == hf.encode(s), repr(s)
