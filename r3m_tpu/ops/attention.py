@@ -64,6 +64,29 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, precision):
         o_ref[i] = ctx.astype(o_ref.dtype)
 
 
+def _fwd_kernel_batched(q_ref, k_ref, v_ref, o_ref, *, scale: float, precision):
+    """Batched-dot variant: one 3-D dot_general over the whole [Bb, T, D]
+    block instead of a Python unroll of 2-D dots. Same math; different
+    Mosaic lowering (T=50 pads to the 64-sublane tile either way, but the
+    batched form gives the compiler the whole block's pipelining upfront).
+    The audit microbenches both; the winner is a block-shape decision, not
+    an API one."""
+    q, k, v = q_ref[:], k_ref[:], v_ref[:]
+    u = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    s = u * scale
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    ctx = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    o_ref[:] = ctx.astype(o_ref.dtype)
+
+
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 scale: float, precision):
     """Recompute-probs backward for one (batch-block, head)."""
@@ -107,6 +130,47 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         dv_ref[i] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_kernel_batched(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                        *, scale: float, precision):
+    """Batched-dot variant of the recompute-probs backward (see
+    _fwd_kernel_batched for why both lowerings exist)."""
+    q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]
+    u = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    s = u * scale
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [Bb, Tq, Tk] f32
+    p_lo = p.astype(v.dtype)
+    # dv = P^T dO  (contract Tq per batch element)
+    dv = jax.lax.dot_general(
+        p_lo, do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    # dP = dO V^T  (contract D)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    du = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale).astype(
+        q.dtype
+    )
+    dq = jax.lax.dot_general(
+        du, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    # dK = dU^T Q  (contract Tq)
+    dk = jax.lax.dot_general(
+        du, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
 def _specs(block_b: int, t: int, d: int, n: int):
     return [
         pl.BlockSpec((block_b, t, d), lambda i, h: (i, 0, h), memory_space=pltpu.VMEM)
@@ -114,12 +178,13 @@ def _specs(block_b: int, t: int, d: int, n: int):
     ]
 
 
-def _fwd_call(q, k, v, n_heads, block_b, interpret, precision):
+def _fwd_call(q, k, v, n_heads, block_b, interpret, precision, batched=False):
     b, t, hd = q.shape
     d = hd // n_heads
     bb = _pick_block_b(b, block_b)
+    kernel = _fwd_kernel_batched if batched else _fwd_kernel
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=1.0 / np.sqrt(d),
+        functools.partial(kernel, scale=1.0 / np.sqrt(d),
                           precision=precision),
         grid=(b // bb, n_heads),
         in_specs=_specs(bb, t, d, 3),
@@ -129,13 +194,15 @@ def _fwd_call(q, k, v, n_heads, block_b, interpret, precision):
     )(q, k, v)
 
 
-def _bwd_call(q, k, v, do, n_heads, block_b, interpret, precision):
+def _bwd_call(q, k, v, do, n_heads, block_b, interpret, precision,
+              batched=False):
     b, t, hd = q.shape
     d = hd // n_heads
     bb = _pick_block_b(b, block_b)
     shape = jax.ShapeDtypeStruct((b, t, hd), q.dtype)
+    kernel = _bwd_kernel_batched if batched else _bwd_kernel
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=1.0 / np.sqrt(d),
+        functools.partial(kernel, scale=1.0 / np.sqrt(d),
                           precision=precision),
         grid=(b // bb, n_heads),
         in_specs=_specs(bb, t, d, 4),
@@ -145,9 +212,10 @@ def _bwd_call(q, k, v, do, n_heads, block_b, interpret, precision):
     )(q, k, v, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_attention(q, k, v, n_heads: int, block_b: int | None = None,
-                    interpret: bool = False, precision=None):
+                    interpret: bool = False, precision=None,
+                    batched: bool = False):
     """Softmax(QK^T / sqrt(D)) V per head, fused in VMEM.
 
     q, k, v: ``[B, T, n_heads * D]`` packed head-major (the natural dense
@@ -157,19 +225,26 @@ def fused_attention(q, k, v, n_heads: int, block_b: int | None = None,
 
     `precision`: forwarded to every in-kernel dot (same contract as the
     einsum path's `precision=` — parity-grade serving passes HIGHEST).
+    `batched`: use one 3-D dot per block instead of the per-element 2-D
+    unroll (identical math, different Mosaic lowering; the ViT audit
+    microbenches both).
     """
     if q.shape[-1] % n_heads:
         raise ValueError(f"dim {q.shape[-1]} not divisible by n_heads={n_heads}")
-    return _fwd_call(q, k, v, n_heads, block_b, interpret, precision)
+    return _fwd_call(q, k, v, n_heads, block_b, interpret, precision, batched)
 
 
-def _vjp_fwd(q, k, v, n_heads, block_b, interpret, precision):
-    return _fwd_call(q, k, v, n_heads, block_b, interpret, precision), (q, k, v)
+def _vjp_fwd(q, k, v, n_heads, block_b, interpret, precision, batched):
+    return (
+        _fwd_call(q, k, v, n_heads, block_b, interpret, precision, batched),
+        (q, k, v),
+    )
 
 
-def _vjp_bwd(n_heads, block_b, interpret, precision, res, g):
+def _vjp_bwd(n_heads, block_b, interpret, precision, batched, res, g):
     q, k, v = res
-    return _bwd_call(q, k, v, g, n_heads, block_b, interpret, precision)
+    return _bwd_call(q, k, v, g, n_heads, block_b, interpret, precision,
+                     batched)
 
 
 fused_attention.defvjp(_vjp_fwd, _vjp_bwd)

@@ -69,6 +69,8 @@ def attention_microbench(b=160, t=50, h=12, d=64, dtype=jnp.bfloat16, iters=50):
     for name, fn in (
         ("einsum", functools.partial(_ref_attention, n_heads=h)),
         ("fused", functools.partial(fused_attention, n_heads=h, interpret=interpret)),
+        ("fused_batched", functools.partial(
+            fused_attention, n_heads=h, interpret=interpret, batched=True)),
     ):
         fwd = jax.jit(fn)
         results[f"{name}_fwd_ms"] = _time_fn(fwd, (q, k, v), iters) * 1e3

@@ -34,20 +34,22 @@ def _ref_attention(q, k, v, n_heads):
     )
 
 
+@pytest.mark.parametrize("batched", [False, True])
 @pytest.mark.parametrize(
     "b,t,h,d", [(4, 50, 12, 64), (2, 10, 3, 8), (6, 7, 2, 16)]
 )
-def test_forward_matches_einsum_f32(b, t, h, d, rng):
+def test_forward_matches_einsum_f32(b, t, h, d, batched, rng):
     q, k, v = (
         jnp.asarray(rng.standard_normal((b, t, h * d), dtype=np.float32))
         for _ in range(3)
     )
-    out = fused_attention(q, k, v, h, interpret=True)
+    out = fused_attention(q, k, v, h, interpret=True, batched=batched)
     ref = _ref_attention(q, k, v, h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
-def test_gradients_match_einsum_f32(rng):
+@pytest.mark.parametrize("batched", [False, True])
+def test_gradients_match_einsum_f32(batched, rng):
     b, t, h, d = 3, 11, 4, 8
     q, k, v = (
         jnp.asarray(rng.standard_normal((b, t, h * d), dtype=np.float32))
@@ -57,7 +59,9 @@ def test_gradients_match_einsum_f32(rng):
     w = jnp.asarray(rng.standard_normal((b, t, h * d), dtype=np.float32))
 
     def loss_fused(q, k, v):
-        return jnp.sum(w * fused_attention(q, k, v, h, interpret=True))
+        return jnp.sum(
+            w * fused_attention(q, k, v, h, interpret=True, batched=batched)
+        )
 
     def loss_ref(q, k, v):
         return jnp.sum(w * _ref_attention(q, k, v, h))
