@@ -41,6 +41,11 @@ A100_BASELINE_FPS = 2500.0  # resnet50 train img/s on one A100 (see docstring)
 # data_loaders.py:83-95: DataLoader(num_workers=10) feeding the GPU step).
 
 
+def _parse_fused(v: str):
+    """BENCH_VIT_FUSED: '0' -> False, '1' -> True, 'batched' -> 'batched'."""
+    return "batched" if v == "batched" else bool(int(v))
+
+
 def _ensure_fixture(root: str) -> str:
     """Synthetic 224px Ego4D-layout fixture (written once, reused)."""
     from r3m_tpu.data.ego4d import write_synthetic_dataset
@@ -224,8 +229,9 @@ def main():
         bs=bs,
         compute_dtype=compute_dtype,
         remat=os.environ.get("BENCH_REMAT", "none"),
-        # ViT-only lever (ops/attention.py); measured in BASELINE.md
-        vit_fused_attn=bool(int(os.environ.get("BENCH_VIT_FUSED", "0"))),
+        # ViT-only lever (ops/attention.py); measured in BASELINE.md.
+        # 0 = einsum path, 1 = fused kernel, batched = its 3-D-dot variant
+        vit_fused_attn=_parse_fused(os.environ.get("BENCH_VIT_FUSED", "0")),
     )
     key = jax.random.PRNGKey(0)
     k_state, k_img = jax.random.split(key)

@@ -85,8 +85,9 @@ class R3MConfig:
     packed_bn: bool = True
     # ViT-only: route attention through the fused Pallas kernel
     # (ops/attention.py) — scores/probs stay in VMEM, backward recomputes
-    # them. Default follows the real-chip measurement in BASELINE.md.
-    vit_fused_attn: bool = False
+    # them. False | True | "batched" (the kernel's 3-D-dot lowering
+    # variant). Default follows the real-chip measurement in BASELINE.md.
+    vit_fused_attn: Any = False
 
     def __post_init__(self):
         if self.size == 0 and self.remat != "none":
@@ -95,6 +96,11 @@ class R3MConfig:
             raise ValueError(
                 "remat is a ResNet-only activation-memory lever; "
                 f"remat={self.remat!r} has no effect on size=0 (ViT-B/32)"
+            )
+        if self.vit_fused_attn not in (False, True, "batched"):
+            raise ValueError(
+                "vit_fused_attn must be false, true, or 'batched'; got "
+                f"{self.vit_fused_attn!r}"
             )
         if self.size != 0 and self.vit_fused_attn:
             raise ValueError(

@@ -100,7 +100,7 @@ def vit_b32_apply(
     cfg: ViTConfig = B32,
     precision=None,
     compute_dtype=None,
-    fused_attn: bool = False,
+    fused_attn: bool | str = False,
     fused_attn_interpret: bool | None = None,
 ) -> jax.Array:
     """NHWC normalized images -> [B, dim] pooled embedding (HF pooler_output).
@@ -109,7 +109,8 @@ def vit_b32_apply(
     (params stay f32; LayerNorm statistics and softmax accumulate f32 via
     preferred_element_type). Output is always f32.
 
-    `fused_attn=True` routes QK^T -> softmax -> PV through the Pallas
+    `fused_attn=True` (or ``"batched"`` for the kernel's 3-D-dot lowering
+    variant) routes QK^T -> softmax -> PV through the Pallas
     kernel (`r3m_tpu.ops.attention.fused_attention`), at the same
     `precision` as the einsum path: scores/probs stay in VMEM and the
     backward recomputes them. Same math as the einsum path to bf16/f32
@@ -155,6 +156,7 @@ def vit_b32_apply(
                 cfg.n_heads,
                 interpret=interpret,
                 precision=precision,
+                batched=fused_attn == "batched",
             )
         else:
             q = _dense(y, layer["q"], precision).reshape(

@@ -113,7 +113,8 @@ def step_bench(bs, steps, fused, profile_dir=None):
             for _ in range(4):
                 state, metrics = step(state, batch)
             float(metrics["full_loss"])
-        print(f"\n== op profile ({'fused' if fused else 'einsum'}) ==")
+        label = {False: "einsum", True: "fused"}.get(fused, f"fused_{fused}")
+        print(f"\n== op profile ({label}) ==")
         print_op_profile(profile_dir, top=20)
 
     t0 = time.perf_counter()
@@ -143,9 +144,9 @@ def main(argv=None) -> int:
         for k, v in micro.items():
             print(f"  {k}: {v:.3f}")
 
-    for fused in (False, True):
+    for fused in (False, True, "batched"):
         pdir = (
-            os.path.join(a.profile_dir, "fused" if fused else "einsum")
+            os.path.join(a.profile_dir, f"fused_{fused}".lower())
             if a.profile_dir
             else None
         )

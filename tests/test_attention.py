@@ -117,9 +117,11 @@ def test_block_b_validation():
         fused_attention(q, q, q, 3, interpret=True)
 
 
-def test_vit_fused_path_matches_einsum_path(rng):
-    """vit_b32_apply(fused_attn=True) == the einsum path at f32 on a tiny
-    ViT geometry (full-model wiring: dense packing, o-proj, residuals)."""
+@pytest.mark.parametrize("mode", [True, "batched"])
+def test_vit_fused_path_matches_einsum_path(mode, rng):
+    """vit_b32_apply(fused_attn=True/'batched') == the einsum path at f32
+    on a tiny ViT geometry (full-model wiring: dense packing, o-proj,
+    residuals)."""
     from r3m_tpu.models.vit import ViTConfig, vit_b32_apply, vit_b32_init
 
     cfg = ViTConfig(
@@ -129,7 +131,7 @@ def test_vit_fused_path_matches_einsum_path(rng):
     params = vit_b32_init(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
     ref = vit_b32_apply(params, x, cfg)
-    out = vit_b32_apply(params, x, cfg, fused_attn=True)
+    out = vit_b32_apply(params, x, cfg, fused_attn=mode)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
@@ -139,6 +141,9 @@ def test_r3m_config_rejects_fused_attn_on_resnet():
     with pytest.raises(ValueError, match="vit_fused_attn"):
         R3MConfig(size=50, vit_fused_attn=True)
     R3MConfig(size=0, vit_fused_attn=True)  # valid on ViT
+    R3MConfig(size=0, vit_fused_attn="batched")  # kernel lowering variant
+    with pytest.raises(ValueError, match="batched"):
+        R3MConfig(size=0, vit_fused_attn="bogus")
 
 
 @pytest.mark.slow
