@@ -147,7 +147,8 @@ def test_r3m_config_rejects_fused_attn_on_resnet():
 
 
 @pytest.mark.slow
-def test_vit_fused_train_step_runs(rng):
+@pytest.mark.parametrize("mode", [True, "batched"])
+def test_vit_fused_train_step_runs(mode, rng):
     """One full train step at size=0 with the kernel wired (cfg knob) —
     gradients flow through the custom VJP inside jit."""
     from r3m_tpu.models.distilbert import distilbert_init
@@ -158,7 +159,7 @@ def test_vit_fused_train_step_runs(rng):
 
     cfg = R3MConfig(
         size=0, langweight=1.0, tcnweight=1.0, image_size=32,
-        vit_fused_attn=True, bs=2, lang_dim=SMALL.dim,
+        vit_fused_attn=mode, bs=2, lang_dim=SMALL.dim,
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(
