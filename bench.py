@@ -290,8 +290,39 @@ def _setup_compilation_cache():
     )
 
 
+def _arm_watchdog():
+    """Turn a dead-tunnel hang into a clean failure.
+
+    A healthy run (cold compile included) finishes in well under the
+    default window, but when the tunneled TPU link is down the first
+    device op blocks forever with no exception — which would hang any
+    unbounded caller. BENCH_WATCHDOG=0 disables.
+    """
+    import threading
+
+    limit = float(os.environ.get("BENCH_WATCHDOG", "1800"))
+    if limit <= 0:
+        return
+
+    def _fire():
+        import sys
+
+        print(
+            f"[bench] FATAL: no result after {limit:.0f}s — the TPU backend "
+            "is unresponsive (tunnel down?); aborting instead of hanging",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(limit, _fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
     _setup_compilation_cache()
+    _arm_watchdog()
     # the tunneled-TPU backend occasionally fails to initialize transiently;
     # retry before giving up so a hiccup doesn't read as a benchmark failure
     for attempt in range(3):

@@ -1,0 +1,47 @@
+#!/bin/bash
+# Reproduce every BASELINE.md measurement in one run.
+#
+# Probes the TPU until it responds (the tunneled backend can be down or
+# stall transiently — see docs/DESIGN.md), then runs the measurement
+# stages CHEAPEST / HIGHEST-PRIORITY FIRST so a brief tunnel-up window
+# still yields the key numbers. `python -u` everywhere so a
+# timeout-killed stage still leaves its partial output in the log.
+#
+# Usage:  scripts/bench_battery.sh [logfile]     (default /tmp/bench_battery.log)
+PY="${PYTHON:-/opt/venv/bin/python} -u"
+LOG="${1:-/tmp/bench_battery.log}"
+cd "$(dirname "$0")/.."
+exec > >(tee -a "$LOG") 2>&1
+
+echo "=== battery start $(date) ==="
+n=0
+while true; do
+  n=$((n+1))
+  echo "--- probe $n $(date) ---"
+  if timeout 180 $PY -c "import jax; import jax.numpy as jnp; print('TPU OK', jax.devices(), float(jnp.ones(4).sum()))"; then
+    break
+  fi
+  echo "probe failed; sleeping 120s"
+  sleep 120
+done
+
+echo "=== TPU up $(date); stage 1: headline bench (resnet50) ==="
+BENCH_STEPS=50 timeout 1200 $PY bench.py
+
+echo "=== stage 2: e2e data bench bs=64 $(date) ==="
+BENCH_DATA=auto BENCH_STEPS=50 timeout 2400 $PY bench.py
+
+echo "=== stage 3: ViT train headline, einsum vs fused attention $(date) ==="
+BENCH_SIZE=0 BENCH_STEPS=50 timeout 1200 $PY bench.py
+BENCH_SIZE=0 BENCH_VIT_FUSED=1 BENCH_STEPS=50 timeout 1200 $PY bench.py
+BENCH_SIZE=0 BENCH_VIT_FUSED=batched BENCH_STEPS=50 timeout 1200 $PY bench.py
+
+echo "=== stage 4: ViT audit (micro + per-op profile) $(date) ==="
+rm -rf /tmp/vit_audit
+timeout 3000 $PY scripts/audit_vit.py --bs 32 --steps 30 --profile-dir /tmp/vit_audit
+
+echo "=== stage 5: serving bench $(date) ==="
+BENCH_EVAL=1 BENCH_STEPS=30 timeout 1800 $PY bench.py
+BENCH_EVAL=1 BENCH_SIZE=0 BENCH_STEPS=30 timeout 1800 $PY bench.py
+
+echo "=== battery done $(date) ==="
