@@ -107,6 +107,23 @@ def main_data():
             k: jnp.asarray(v) for k, v in b.items() if k != "captions"
         }
 
+    # H2D link probe: a tunneled chip makes the per-step image upload
+    # (bs*5 uint8 frames) the binding constraint; print the ceiling it
+    # implies so the delivered number below is attributable (see
+    # BASELINE.md "delivered throughput on the tunnel host").
+    import numpy as np
+
+    step_bytes = bs * 5 * 224 * 224 * 3
+    probe = np.random.default_rng(0).integers(0, 256, step_bytes, dtype=np.uint8)
+    float(jnp.sum(jnp.asarray(probe)))  # warm; value fetch = hard sync
+    t0 = time.perf_counter()
+    float(jnp.sum(jnp.asarray(probe)))
+    link = step_bytes / (time.perf_counter() - t0) / 1e6
+    print(
+        f"[bench] H2D link: {link:.1f} MB/s for the {step_bytes / 1e6:.1f} MB "
+        f"uint8 step batch -> link-bound ceiling ~{link * 1e6 / (step_bytes / (bs * 5)):.0f} frames/s"
+    )
+
     with DataPipeline(batcher, tokenizer=tok, lang_max_len=32) as pipe:
         placed = ProducerQueue(
             pipe, maxsize=2, transform=place, reserve_first=True,
@@ -174,6 +191,27 @@ def main_eval():
         0, 256, (bs, 3, cfg.image_size, cfg.image_size), dtype=np.uint8
     )
 
+    # NOTE on syncing: on the tunneled experimental platform
+    # `jax.block_until_ready` can return before execution finishes (see
+    # main()); a scalar VALUE fetch is the only hard sync. The TPU stream
+    # executes programs in launch order, so fetching a scalar of the LAST
+    # call's output waits for the whole loop.
+    def _sync(x):
+        float(jnp.sum(x))
+
+    # 0) host->device link probe: this host reaches the chip over a
+    # tunnel, so delivered-throughput numbers are bounded by this link —
+    # print it so the delivered number below is attributable.
+    probe = rng.integers(0, 256, obs.nbytes, dtype=np.uint8)
+    _sync(jnp.asarray(probe))  # warm the transfer path
+    t0 = time.perf_counter()
+    _sync(jnp.asarray(probe))
+    link = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    print(
+        f"[bench] H2D link: {link:.1f} MB/s for the {obs.nbytes / 1e6:.1f} MB "
+        f"uint8 batch -> link-bound ceiling ~{link * 1e6 / (obs.nbytes / bs):.0f} frames/s"
+    )
+
     # 1) device-resident: the compiled encoder program alone (what an
     # on-device pipeline — e.g. embeddings consumed by a jitted policy —
     # would see). enc._fwd is the module's own jitted forward.
@@ -181,22 +219,22 @@ def main_eval():
     out = None
     for _ in range(3):
         out = enc._fwd(enc.params, enc.batch_stats, obs_dev)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = enc._fwd(enc.params, enc.batch_stats, obs_dev)
-    jax.block_until_ready(out)
+    _sync(out)
     dev_fps = bs * steps / (time.perf_counter() - t0)
     print(f"[bench] device-resident encoder forward: {dev_fps:.1f} frames/s")
 
     # 2) delivered: the public __call__ law from host memory (uint8 NCHW).
     for _ in range(3):
         out = enc(obs)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = enc(obs)
-    jax.block_until_ready(out)
+    _sync(out)
     fps = bs * steps / (time.perf_counter() - t0)
     print(
         json.dumps(

@@ -12,10 +12,16 @@ VMEM/registers, and the custom VJP recomputes the probabilities instead
 of saving them (dropping the ~[B,12,50,50] x 12-layer probs residual
 from the activation footprint).
 
-Layout: q, k, v are the PACKED dense outputs `[B, T, H*D]` — no per-head
-reshape/transpose is ever materialized; the BlockSpec's lane slice
-`(i, 0, h)` gathers head `h` during the HBM->VMEM DMA, which is where a
-strided gather is free.
+Layout: the public API takes the PACKED dense outputs `[B, T, H*D]`; the
+call folds heads into the grid's batch dimension (`[B*H, T, D]`,
+flash-attention style) so every BlockSpec covers the full `T x D` face —
+the only Mosaic-legal blocking when T (50) and D (64) are smaller than
+the (8, 128) tile (the last two block dims must be tile-divisible OR
+equal to the array dims; a 64-lane head slice of the packed 768-lane
+array is neither, and fails `_check_block_mappings` on real TPU). The
+head split/merge transposes at the call boundary are the same relayouts
+the einsum path pays around its `bqhd->bhqk` contractions, so the
+comparison against it stays like-for-like.
 
 Like `ops/pallas_pool.py`, this ships with interpret-mode correctness
 tests and is wired only if the real-chip microbench wins (BASELINE.md
@@ -33,19 +39,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_block_b(b: int, block_b: int | None) -> int:
+def _pick_block_b(bh: int, block_b: int | None) -> int:
+    """Batch-block over the folded [B*H] grid axis."""
     if block_b is not None:
-        if b % block_b:
-            raise ValueError(f"block_b={block_b} must divide B={b}")
+        if bh % block_b:
+            raise ValueError(f"block_b={block_b} must divide B*H={bh}")
         return block_b
-    for cand in (16, 8, 4, 2, 1):
-        if b % cand == 0:
+    for cand in (32, 16, 8, 4, 2, 1):
+        if bh % cand == 0:
             return cand
     return 1
 
 
+def _split_heads(x, n_heads: int):
+    """[B, T, H*D] packed -> [B*H, T, D] head-major for the kernel grid."""
+    b, t, hd = x.shape
+    d = hd // n_heads
+    return (
+        x.reshape(b, t, n_heads, d)
+        .transpose(0, 2, 1, 3)
+        .reshape(b * n_heads, t, d)
+    )
+
+
+def _merge_heads(x, b: int, n_heads: int):
+    """[B*H, T, D] -> [B, T, H*D] packed."""
+    bh, t, d = x.shape
+    return (
+        x.reshape(b, n_heads, t, d)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, t, n_heads * d)
+    )
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, precision):
-    """q, k, v refs [Bb, T, D] (one head) -> o ref [Bb, T, D]."""
+    """q, k, v refs [Bb, T, D] (head folded into Bb) -> o ref [Bb, T, D]."""
     bb = q_ref.shape[0]
     for i in range(bb):  # static unroll: 2-D MXU dots per batch element
         qi, ki, vi = q_ref[i], k_ref[i], v_ref[i]
@@ -89,7 +117,7 @@ def _fwd_kernel_batched(q_ref, k_ref, v_ref, o_ref, *, scale: float, precision):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 scale: float, precision):
-    """Recompute-probs backward for one (batch-block, head)."""
+    """Recompute-probs backward for one head-folded batch block."""
     bb = q_ref.shape[0]
     for i in range(bb):
         qi, ki, vi, doi = q_ref[i], k_ref[i], v_ref[i], do_ref[i]
@@ -172,8 +200,11 @@ def _bwd_kernel_batched(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
 
 def _specs(block_b: int, t: int, d: int, n: int):
+    # block covers the full T x D face: T and D (50, 64) are below the
+    # (8, 128) Mosaic tile, so "equal to the array dims" is the only
+    # legal blocking for the last two axes
     return [
-        pl.BlockSpec((block_b, t, d), lambda i, h: (i, 0, h), memory_space=pltpu.VMEM)
+        pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         for _ in range(n)
     ]
 
@@ -181,35 +212,39 @@ def _specs(block_b: int, t: int, d: int, n: int):
 def _fwd_call(q, k, v, n_heads, block_b, interpret, precision, batched=False):
     b, t, hd = q.shape
     d = hd // n_heads
-    bb = _pick_block_b(b, block_b)
+    qf, kf, vf = (_split_heads(x, n_heads) for x in (q, k, v))
+    bb = _pick_block_b(b * n_heads, block_b)
     kernel = _fwd_kernel_batched if batched else _fwd_kernel
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(kernel, scale=1.0 / np.sqrt(d),
                           precision=precision),
-        grid=(b // bb, n_heads),
+        grid=(b * n_heads // bb,),
         in_specs=_specs(bb, t, d, 3),
         out_specs=_specs(bb, t, d, 1)[0],
-        out_shape=jax.ShapeDtypeStruct((b, t, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * n_heads, t, d), q.dtype),
         interpret=interpret,
-    )(q, k, v)
+    )(qf, kf, vf)
+    return _merge_heads(out, b, n_heads)
 
 
 def _bwd_call(q, k, v, do, n_heads, block_b, interpret, precision,
               batched=False):
     b, t, hd = q.shape
     d = hd // n_heads
-    bb = _pick_block_b(b, block_b)
-    shape = jax.ShapeDtypeStruct((b, t, hd), q.dtype)
+    qf, kf, vf, dof = (_split_heads(x, n_heads) for x in (q, k, v, do))
+    bb = _pick_block_b(b * n_heads, block_b)
+    shape = jax.ShapeDtypeStruct((b * n_heads, t, d), q.dtype)
     kernel = _bwd_kernel_batched if batched else _bwd_kernel
-    return pl.pallas_call(
+    dq, dk, dv = pl.pallas_call(
         functools.partial(kernel, scale=1.0 / np.sqrt(d),
                           precision=precision),
-        grid=(b // bb, n_heads),
+        grid=(b * n_heads // bb,),
         in_specs=_specs(bb, t, d, 4),
         out_specs=tuple(_specs(bb, t, d, 3)),
         out_shape=(shape, shape, shape),
         interpret=interpret,
-    )(q, k, v, do)
+    )(qf, kf, vf, dof)
+    return tuple(_merge_heads(g, b, n_heads) for g in (dq, dk, dv))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

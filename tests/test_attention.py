@@ -111,8 +111,9 @@ def test_heads_are_independent(rng):
 
 def test_block_b_validation():
     q = jnp.zeros((6, 4, 8))
+    # block_b blocks the head-folded B*H grid axis (6*2 = 12 here)
     with pytest.raises(ValueError, match="divide"):
-        fused_attention(q, q, q, 2, block_b=4, interpret=True)
+        fused_attention(q, q, q, 2, block_b=5, interpret=True)
     with pytest.raises(ValueError, match="n_heads"):
         fused_attention(q, q, q, 3, interpret=True)
 
