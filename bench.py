@@ -46,6 +46,30 @@ def _parse_fused(v: str):
     return "batched" if v == "batched" else bool(int(v))
 
 
+def _h2d_link_probe(step_bytes: int, frame_bytes: int) -> None:
+    """Print a lower bound on the host->device link rate.
+
+    Times `device_put` of a step-sized uint8 buffer synced by fetching ONE
+    element's value (a 1-element D2H after the upload completes) — a hard
+    sync that adds negligible return traffic, unlike a full-array reduce.
+    The printed MB/s still includes dispatch + the tiny D2H round trip, so
+    it is a LOWER BOUND on the raw link, good enough to attribute whether
+    a delivered-throughput number below is link-bound.
+    """
+    import numpy as np
+
+    probe = np.random.default_rng(0).integers(0, 256, step_bytes, dtype=np.uint8)
+    float(jnp.asarray(probe)[0])  # warm the transfer + slice programs
+    t0 = time.perf_counter()
+    float(jnp.asarray(probe)[0])
+    link = step_bytes / (time.perf_counter() - t0) / 1e6
+    print(
+        f"[bench] H2D link (round-trip lower bound): {link:.1f} MB/s for the "
+        f"{step_bytes / 1e6:.1f} MB uint8 step batch -> link-bound ceiling "
+        f"~{link * 1e6 / frame_bytes:.0f} frames/s"
+    )
+
+
 def _ensure_fixture(root: str) -> str:
     """Synthetic 224px Ego4D-layout fixture (written once, reused)."""
     from r3m_tpu.data.ego4d import write_synthetic_dataset
@@ -111,18 +135,8 @@ def main_data():
     # (bs*5 uint8 frames) the binding constraint; print the ceiling it
     # implies so the delivered number below is attributable (see
     # BASELINE.md "delivered throughput on the tunnel host").
-    import numpy as np
-
     step_bytes = bs * 5 * 224 * 224 * 3
-    probe = np.random.default_rng(0).integers(0, 256, step_bytes, dtype=np.uint8)
-    float(jnp.sum(jnp.asarray(probe)))  # warm; value fetch = hard sync
-    t0 = time.perf_counter()
-    float(jnp.sum(jnp.asarray(probe)))
-    link = step_bytes / (time.perf_counter() - t0) / 1e6
-    print(
-        f"[bench] H2D link: {link:.1f} MB/s for the {step_bytes / 1e6:.1f} MB "
-        f"uint8 step batch -> link-bound ceiling ~{link * 1e6 / (step_bytes / (bs * 5)):.0f} frames/s"
-    )
+    _h2d_link_probe(step_bytes, step_bytes // (bs * 5))
 
     with DataPipeline(batcher, tokenizer=tok, lang_max_len=32) as pipe:
         placed = ProducerQueue(
@@ -191,9 +205,12 @@ def main_eval():
         0, 256, (bs, 3, cfg.image_size, cfg.image_size), dtype=np.uint8
     )
 
-    # NOTE on syncing: on the tunneled experimental platform
-    # `jax.block_until_ready` can return before execution finishes (see
-    # main()); a scalar VALUE fetch is the only hard sync. The TPU stream
+    # NOTE on syncing: a scalar VALUE fetch is used as the hard sync
+    # everywhere in this file. Documented JAX semantics say
+    # `jax.block_until_ready` suffices, but round-3 serving numbers taken
+    # with it on this tunneled platform over-read by ~400x (see BASELINE.md
+    # round-3 serving note); the value fetch is strictly stronger
+    # (belt-and-suspenders) and costs one scalar D2H. The TPU stream
     # executes programs in launch order, so fetching a scalar of the LAST
     # call's output waits for the whole loop.
     def _sync(x):
@@ -202,15 +219,7 @@ def main_eval():
     # 0) host->device link probe: this host reaches the chip over a
     # tunnel, so delivered-throughput numbers are bounded by this link —
     # print it so the delivered number below is attributable.
-    probe = rng.integers(0, 256, obs.nbytes, dtype=np.uint8)
-    _sync(jnp.asarray(probe))  # warm the transfer path
-    t0 = time.perf_counter()
-    _sync(jnp.asarray(probe))
-    link = probe.nbytes / (time.perf_counter() - t0) / 1e6
-    print(
-        f"[bench] H2D link: {link:.1f} MB/s for the {obs.nbytes / 1e6:.1f} MB "
-        f"uint8 batch -> link-bound ceiling ~{link * 1e6 / (obs.nbytes / bs):.0f} frames/s"
-    )
+    _h2d_link_probe(obs.nbytes, obs.nbytes // bs)
 
     # 1) device-resident: the compiled encoder program alone (what an
     # on-device pipeline — e.g. embeddings consumed by a jitted policy —

@@ -86,7 +86,8 @@ class R3MConfig:
     # ViT-only: route attention through the fused Pallas kernel
     # (ops/attention.py) — scores/probs stay in VMEM, backward recomputes
     # them. False | True | "batched" (the kernel's 3-D-dot lowering
-    # variant). Default follows the real-chip measurement in BASELINE.md.
+    # variant). Default is the XLA einsum path; the kernel is an opt-in
+    # lever whose accept/reject measurement is tracked in BASELINE.md.
     vit_fused_attn: Any = False
 
     def __post_init__(self):

@@ -6,11 +6,12 @@ The reference's ``size == 0`` backbone is an HF ViT
 score/prob tensors through HBM every layer and pays `bqhd -> bhqk`
 relayouts on both sides of the softmax. At the bench shape (B = 160
 frames, T = 50 tokens, H = 12 heads, D = 64) the attention matmuls are
-~1% of the step's FLOPs — the candidate win is *traffic*: one kernel per
-(batch-block, head) computes QK^T -> softmax -> PV entirely in
-VMEM/registers, and the custom VJP recomputes the probabilities instead
-of saving them (dropping the ~[B,12,50,50] x 12-layer probs residual
-from the activation footprint).
+~1% of the step's FLOPs — the candidate win is *traffic*: heads fold
+into the grid's batch axis (`[B*H, T, D]`, a 1-D grid of batch blocks)
+and each kernel instance computes QK^T -> softmax -> PV for its block
+entirely in VMEM/registers, while the custom VJP recomputes the
+probabilities instead of saving them (dropping the ~[B,12,50,50] x
+12-layer probs residual from the activation footprint).
 
 Layout: the public API takes the PACKED dense outputs `[B, T, H*D]`; the
 call folds heads into the grid's batch dimension (`[B*H, T, D]`,
@@ -260,6 +261,9 @@ def fused_attention(q, k, v, n_heads: int, block_b: int | None = None,
 
     `precision`: forwarded to every in-kernel dot (same contract as the
     einsum path's `precision=` — parity-grade serving passes HIGHEST).
+    `block_b`: grid batch-block size; it blocks the HEAD-FOLDED axis, so
+    it must divide ``B * n_heads`` (not B alone). Default: the largest of
+    32/16/8/4/2/1 that divides.
     `batched`: use one 3-D dot per block instead of the per-element 2-D
     unroll (identical math, different Mosaic lowering; the ViT audit
     microbenches both).

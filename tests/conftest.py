@@ -12,15 +12,22 @@ backends initialize lazily.
 
 import os
 
+# R3M_TPU_TESTS=1 keeps the real backend so the `-m tpu` tier can COMPILE
+# the Pallas kernels on the chip (interpret-mode tests are blind to Mosaic
+# lowering legality — see tests/test_tpu_kernels.py). Everything else runs
+# on the 8-virtual-device CPU mesh below.
+_ON_CHIP = os.environ.get("R3M_TPU_TESTS") == "1"
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if not _ON_CHIP and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: repeat test sessions skip recompiling the big
 # mesh/train-step programs (the bulk of suite wall time)
 jax.config.update(

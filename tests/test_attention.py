@@ -95,7 +95,8 @@ def test_bf16_forward_close_to_f32(rng):
 
 def test_heads_are_independent(rng):
     """Perturbing head h's lanes must change ONLY head h's output lanes —
-    guards the BlockSpec's packed-layout lane arithmetic."""
+    guards the _split_heads/_merge_heads lane arithmetic at the packed
+    [B,T,H*D] call boundary."""
     b, t, h, d = 2, 6, 3, 8
     q, k, v = (
         jnp.asarray(rng.standard_normal((b, t, h * d), dtype=np.float32))

@@ -1,0 +1,129 @@
+"""Real-chip Pallas kernel lowering tier (`pytest -m tpu`).
+
+Interpret-mode tests (test_attention.py, test_pallas_pool.py) validate the
+kernel MATH on CPU but are blind to Mosaic lowering legality: round 3's
+fused-attention per-head BlockSpec passed every interpret-mode test and
+then failed Mosaic's `_check_block_mappings` on the real chip (fixed in
+commit 840f697). This module COMPILES — never interprets — every shipped
+Pallas kernel at the bench shapes against the XLA reference paths:
+
+* `ops/attention.py fused_attention` fwd + fwd/bwd, both lowerings
+  (per-element 2-D unroll and the `batched` 3-D-dot variant), at the ViT
+  audit shape [160, 50, 768] / 12 heads bf16;
+* `ops/pallas_pool.py maxpool_3x3s2` fwd + bwd (bit-exact contract) at the
+  resnet50 stem shape;
+* `models/resnet.py max_pool_3x3s2_amax` custom VJP (unwired
+  measured-negative lever, kept compile-clean).
+
+Run: `R3M_TPU_TESTS=1 python -m pytest -m tpu tests/test_tpu_kernels.py`
+(bench_battery.sh stage 0). Self-skips on the CPU backend so the default
+suite stays green everywhere; conftest.py only forces the CPU platform
+when R3M_TPU_TESTS is unset.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from r3m_tpu.ops.attention import fused_attention
+from r3m_tpu.ops.pallas_pool import maxpool_3x3s2
+from r3m_tpu.models.resnet import max_pool_3x3s2, max_pool_3x3s2_amax
+from tests.test_attention import _ref_attention
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() == "cpu",
+        reason="real-chip lowering tier (set R3M_TPU_TESTS=1 on a TPU host)",
+    ),
+]
+
+# ViT-B/32 bench shape: bs=32 clips -> B = 160 frames, T = 50 tokens,
+# H*D = 768 packed (12 heads of 64).
+B, T, H, D = 160, 50, 12, 64
+
+
+def _qkv(dtype=jnp.bfloat16):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return tuple(jax.random.normal(k, (B, T, H * D), dtype) for k in ks)
+
+
+@pytest.mark.parametrize("batched", [False, True], ids=["unrolled", "batched"])
+def test_fused_attention_forward_compiles(batched):
+    q, k, v = _qkv()
+    out = jax.jit(
+        lambda q, k, v: fused_attention(q, k, v, H, batched=batched)
+    )(q, k, v)
+    ref = _ref_attention(q, k, v, H)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        rtol=0.05,
+        atol=0.05,
+    )
+
+
+@pytest.mark.parametrize("batched", [False, True], ids=["unrolled", "batched"])
+def test_fused_attention_backward_compiles(batched):
+    q, k, v = _qkv()
+    w = jax.random.normal(jax.random.PRNGKey(9), (B, T, H * D), jnp.bfloat16)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum((w * fn(q, k, v)).astype(jnp.float32))
+
+        return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+    got = loss(lambda q, k, v: fused_attention(q, k, v, H, batched=batched))(
+        q, k, v
+    )
+    ref = loss(lambda q, k, v: _ref_attention(q, k, v, H))(q, k, v)
+    for g, r, name in zip(got, ref, "qkv"):
+        # bf16 inputs + recompute-probs backward vs the einsum autodiff:
+        # elementwise agreement to bf16-accumulation tolerance.
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32),
+            np.asarray(r, np.float32),
+            rtol=0.1,
+            atol=0.1,
+            err_msg=f"d{name} mismatch (batched={batched})",
+        )
+
+
+def _stem_input(dtype=jnp.bfloat16, n=32):
+    # resnet50 stem activation shape (bench uses N=320; N=32 keeps the tier
+    # fast while exercising the same [112,112,64] tile geometry per image).
+    return jax.random.normal(
+        jax.random.PRNGKey(1), (n, 112, 112, 64), dtype
+    )
+
+
+def test_pallas_maxpool_forward_compiles():
+    x = _stem_input()
+    got = jax.jit(maxpool_3x3s2)(x)
+    ref = jax.jit(max_pool_3x3s2)(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_maxpool_backward_compiles():
+    x = _stem_input()
+
+    def s(pool):
+        return jax.jit(jax.grad(lambda x: jnp.sum(pool(x).astype(jnp.float32))))
+
+    np.testing.assert_array_equal(
+        np.asarray(s(maxpool_3x3s2)(x)), np.asarray(s(max_pool_3x3s2)(x))
+    )
+
+
+def test_amax_pool_vjp_compiles():
+    x = _stem_input()
+
+    def s(pool):
+        return jax.jit(jax.grad(lambda x: jnp.sum(pool(x).astype(jnp.float32))))
+
+    np.testing.assert_array_equal(
+        np.asarray(s(max_pool_3x3s2_amax)(x)), np.asarray(s(max_pool_3x3s2)(x))
+    )
