@@ -42,8 +42,12 @@ A100_BASELINE_FPS = 2500.0  # resnet50 train img/s on one A100 (see docstring)
 
 
 def _parse_fused(v: str):
-    """BENCH_VIT_FUSED: '0' -> False, '1' -> True, 'batched' -> 'batched'."""
-    return "batched" if v == "batched" else bool(int(v))
+    """BENCH_VIT_FUSED: 'auto' (default — what users get: the measured
+    round-4 winner, batched kernel for training), '0' -> einsum,
+    '1' -> unrolled kernel, 'batched' -> the 3-D-dot kernel variant."""
+    if v in ("auto", "batched"):
+        return v
+    return bool(int(v))
 
 
 def _h2d_link_probe(step_bytes: int, frame_bytes: int) -> None:
@@ -277,8 +281,9 @@ def main():
         compute_dtype=compute_dtype,
         remat=os.environ.get("BENCH_REMAT", "none"),
         # ViT-only lever (ops/attention.py); measured in BASELINE.md.
-        # 0 = einsum path, 1 = fused kernel, batched = its 3-D-dot variant
-        vit_fused_attn=_parse_fused(os.environ.get("BENCH_VIT_FUSED", "0")),
+        # auto = config default (train -> batched kernel), 0 = einsum,
+        # 1 = unrolled kernel, batched = the 3-D-dot kernel variant
+        vit_fused_attn=_parse_fused(os.environ.get("BENCH_VIT_FUSED", "auto")),
     )
     key = jax.random.PRNGKey(0)
     k_state, k_img = jax.random.split(key)

@@ -330,11 +330,13 @@ def r3m_config_from_meta(meta: Dict, **overrides):
     # checkpoint that loaded yesterday must still load, so coerce + warn
     # instead of refusing (they never affected the saved weights).
     size = cfg_dict.get("size", R3MConfig.size)
-    for field, default, bad in (
-        ("remat", "none", size == 0),
-        ("vit_fused_attn", False, size != 0),
+    for field, default, ok_values, bad in (
+        ("remat", "none", ("none",), size == 0),
+        # "auto" self-resolves to the einsum path on ResNet — not a
+        # mismatch, don't warn (it is the field's default since round 4)
+        ("vit_fused_attn", False, (False, "auto"), size != 0),
     ):
-        if bad and cfg_dict.get(field, default) != default:
+        if bad and cfg_dict.get(field, default) not in ok_values:
             warnings.warn(
                 f"snapshot config carries {field}={cfg_dict[field]!r}, which "
                 f"does not apply to size={size}; ignoring it"

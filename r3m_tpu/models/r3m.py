@@ -85,10 +85,16 @@ class R3MConfig:
     packed_bn: bool = True
     # ViT-only: route attention through the fused Pallas kernel
     # (ops/attention.py) — scores/probs stay in VMEM, backward recomputes
-    # them. False | True | "batched" (the kernel's 3-D-dot lowering
-    # variant). Default is the XLA einsum path; the kernel is an opt-in
-    # lever whose accept/reject measurement is tracked in BASELINE.md.
-    vit_fused_attn: Any = False
+    # them. "auto" | False | True | "batched". "auto" (default) resolves
+    # per call: the "batched" 3-D-dot lowering for TRAINING (measured
+    # accept on the real chip — +15-20% end-to-end over the einsum path,
+    # BASELINE.md round-4 ViT audit) and the einsum path for serving
+    # (parity-grade HIGHEST-precision f32 inference stays on the XLA
+    # lowering the golden pins and torch-cosine checks were taken with;
+    # the fwd-only kernel win is ~0.3 ms/step there). True = the
+    # per-element 2-D unroll lowering (measured: faster fwd, slower bwd —
+    # net negative for training; kept as the tested variant).
+    vit_fused_attn: Any = "auto"
 
     def __post_init__(self):
         if self.size == 0 and self.remat != "none":
@@ -98,16 +104,28 @@ class R3MConfig:
                 "remat is a ResNet-only activation-memory lever; "
                 f"remat={self.remat!r} has no effect on size=0 (ViT-B/32)"
             )
-        if self.vit_fused_attn not in (False, True, "batched"):
+        if self.vit_fused_attn not in ("auto", False, True, "batched"):
             raise ValueError(
-                "vit_fused_attn must be false, true, or 'batched'; got "
-                f"{self.vit_fused_attn!r}"
+                "vit_fused_attn must be 'auto', false, true, or 'batched'; "
+                f"got {self.vit_fused_attn!r}"
             )
-        if self.size != 0 and self.vit_fused_attn:
+        if self.size != 0 and self.vit_fused_attn not in (False, "auto"):
             raise ValueError(
                 "vit_fused_attn is a ViT-only lever; it has no effect on "
                 f"size={self.size} (ResNet has no attention)"
             )
+
+    def resolved_fused_attn(self, train: bool):
+        """The attention lowering `r3m_embed` actually uses.
+
+        "auto": the measured-winner "batched" kernel for the training
+        step, the einsum path for inference (see the field comment).
+        """
+        if self.size != 0:
+            return False
+        if self.vit_fused_attn == "auto":
+            return "batched" if train else False
+        return self.vit_fused_attn
 
     @property
     def out_dim(self) -> int:
@@ -197,7 +215,7 @@ def r3m_embed(
         feats = vit_b32_apply(
             params["convnet"], x, precision=precision,
             compute_dtype=cfg.jnp_compute_dtype,
-            fused_attn=cfg.vit_fused_attn,
+            fused_attn=cfg.resolved_fused_attn(train),
             fused_attn_interpret=fused_attn_interpret,
         )
         return feats, batch_stats

@@ -24,9 +24,14 @@ head split/merge transposes at the call boundary are the same relayouts
 the einsum path pays around its `bqhd->bhqk` contractions, so the
 comparison against it stays like-for-like.
 
-Like `ops/pallas_pool.py`, this ships with interpret-mode correctness
-tests and is wired only if the real-chip microbench wins (BASELINE.md
-records the accept/reject measurement either way).
+Measured on the real chip (BASELINE.md round-4): the `batched` 3-D-dot
+lowering wins — fwd+bwd 1.194 ms vs the einsum path's 1.527 ms at the
+audit shape, +19.6% end-to-end on the ViT train step — and is the
+TRAINING default via `R3MConfig.vit_fused_attn="auto"`. The 2-D-unroll
+lowering's backward is slower than einsum (1.892 ms) and stays opt-in.
+Serving keeps the einsum path (parity-grade f32/HIGHEST inference stays
+on the lowering the golden pins were taken with). Real-chip lowering
+legality is pinned by `tests/test_tpu_kernels.py` (`pytest -m tpu`).
 """
 
 from __future__ import annotations

@@ -11,8 +11,9 @@ never did. This script produces, on the real chip:
    [160, 50, 768] / 12 heads,
 3. end-to-end bench step times with `vit_fused_attn` off/on.
 
-Results feed the accept/reject entry in BASELINE.md (the kernel wires by
-default only if 3 wins).
+Results fed the accept/reject entry in BASELINE.md (round 4): the batched
+lowering won (3) and is the training default via `vit_fused_attn="auto"`;
+this script stays as the reproduction path for that entry.
 
 Usage: python scripts/audit_vit.py [--bs 32] [--steps 20] [--profile-dir D]
 """

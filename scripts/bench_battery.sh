@@ -25,14 +25,25 @@ while true; do
   sleep 120
 done
 
-echo "=== TPU up $(date); stage 1: headline bench (resnet50) ==="
+echo "=== TPU up $(date); stage 0: on-chip kernel lowering tier ==="
+# Compiles every Pallas kernel on the real chip BEFORE trusting the perf
+# stages (round 3's Mosaic block-shape failure was invisible to the
+# interpret-mode tests). A red stage 0 means the perf numbers that follow
+# exercise broken kernels — abort loudly.
+if ! R3M_TPU_TESTS=1 timeout 1800 $PY -m pytest -m tpu tests/test_tpu_kernels.py -q; then
+  echo "FATAL: on-chip kernel tier failed; not benchmarking broken kernels"
+  exit 1
+fi
+
+echo "=== stage 1: headline bench (resnet50) $(date) ==="
 BENCH_STEPS=50 timeout 1200 $PY bench.py
 
 echo "=== stage 2: e2e data bench bs=64 $(date) ==="
 BENCH_DATA=auto BENCH_STEPS=50 timeout 2400 $PY bench.py
 
 echo "=== stage 3: ViT train headline, einsum vs fused attention $(date) ==="
-BENCH_SIZE=0 BENCH_STEPS=50 timeout 1200 $PY bench.py
+BENCH_SIZE=0 BENCH_VIT_FUSED=auto BENCH_STEPS=50 timeout 1200 $PY bench.py
+BENCH_SIZE=0 BENCH_VIT_FUSED=0 BENCH_STEPS=50 timeout 1200 $PY bench.py
 BENCH_SIZE=0 BENCH_VIT_FUSED=1 BENCH_STEPS=50 timeout 1200 $PY bench.py
 BENCH_SIZE=0 BENCH_VIT_FUSED=batched BENCH_STEPS=50 timeout 1200 $PY bench.py
 
@@ -44,4 +55,9 @@ echo "=== stage 5: serving bench $(date) ==="
 BENCH_EVAL=1 BENCH_STEPS=30 timeout 1800 $PY bench.py
 BENCH_EVAL=1 BENCH_SIZE=0 BENCH_STEPS=30 timeout 1800 $PY bench.py
 
+echo "=== stage 6: v5p projection (per-op arithmetic from a fresh trace) $(date) ==="
+timeout 1800 $PY scripts/project_v5p.py
+
 echo "=== battery done $(date) ==="
+echo "(CPU-mesh artifacts — collective budget + weak scaling — are separate:"
+echo "   python scripts/audit_collectives.py   # needs no TPU, heavy CPU)"

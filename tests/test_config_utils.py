@@ -52,10 +52,16 @@ def test_root_yaml_accepts_vit_fused_attn_override():
     )
     r3m_cfg = agent_to_r3m_config(cfg["agent"])
     assert r3m_cfg.vit_fused_attn is True and r3m_cfg.size == 0
-    assert (
-        agent_to_r3m_config(load_config("cfgs/config_rep.yaml")["agent"])
-        .vit_fused_attn is False
+    # the YAML default is "auto": batched kernel when training, einsum
+    # when serving (ViT); always the einsum path on ResNet backbones
+    default = agent_to_r3m_config(load_config("cfgs/config_rep.yaml")["agent"])
+    assert default.vit_fused_attn == "auto"
+    assert default.resolved_fused_attn(train=True) is False  # ResNet
+    vit = agent_to_r3m_config(
+        load_config("cfgs/config_rep.yaml", ["agent.size=0"])["agent"]
     )
+    assert vit.resolved_fused_attn(train=True) == "batched"
+    assert vit.resolved_fused_attn(train=False) is False
 
 
 def test_distributed_auto_gate(monkeypatch):
