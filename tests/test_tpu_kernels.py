@@ -127,3 +127,26 @@ def test_amax_pool_vjp_compiles():
     np.testing.assert_array_equal(
         np.asarray(s(max_pool_3x3s2_amax)(x)), np.asarray(s(max_pool_3x3s2)(x))
     )
+
+
+def test_op_profile_parses_from_real_chip_trace(tmp_path):
+    """The xprof op-profile parser behind every BASELINE.md audit.
+
+    On CPU this path skips (CPU xplanes carry no op-profile tables —
+    test_profiling.py); a real-chip trace must parse and attribute time to
+    a fusion/convolution category, or the roofline audits
+    (scripts/audit_vit.py, scripts/project_v5p.py) are flying blind.
+    """
+    from r3m_tpu.utils.profiling import op_profile_summary, trace
+
+    d = str(tmp_path / "tr")
+    x = jax.random.normal(jax.random.PRNGKey(2), (512, 512), jnp.bfloat16)
+    f = jax.jit(lambda x: jnp.tanh(x @ x) @ x)
+    f(x).block_until_ready()  # compile outside the trace
+    with trace(d):
+        f(x).block_until_ready()
+
+    rows = op_profile_summary(d, top=8)
+    assert rows, "op profile parsed to zero rows from a real-chip trace"
+    names = " ".join(str(r).lower() for r in rows)
+    assert "fusion" in names or "convolution" in names or "dot" in names
