@@ -201,9 +201,14 @@ def main_eval():
     bs = int(os.environ.get("BENCH_BS", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     size = int(os.environ.get("BENCH_SIZE", "50"))
+    # "parity" = the load_r3m law (f32/HIGHEST); "fast" = bf16 folded
+    # serving (R3MEncoder precision lever, measured in BASELINE.md)
+    precision = os.environ.get("BENCH_PRECISION", "parity")
     cfg = R3MConfig(size=size, langweight=0.0)
     state = r3m_init(jax.random.PRNGKey(0), cfg)
-    enc = R3MEncoder(cfg, state["params"], state["batch_stats"])
+    enc = R3MEncoder(
+        cfg, state["params"], state["batch_stats"], precision=precision
+    )
     rng = np.random.default_rng(0)
     obs = rng.integers(
         0, 256, (bs, 3, cfg.image_size, cfg.image_size), dtype=np.uint8
@@ -240,6 +245,21 @@ def main_eval():
     dev_fps = bs * steps / (time.perf_counter() - t0)
     print(f"[bench] device-resident encoder forward: {dev_fps:.1f} frames/s")
 
+    if precision == "fast":
+        # honest-mode check: print the fast-vs-parity embedding cosine on
+        # this exact batch so the throughput row carries its accuracy cost
+        ref = R3MEncoder(cfg, state["params"], state["batch_stats"])
+        e_ref = np.asarray(ref._fwd(ref.params, ref.batch_stats, obs_dev))
+        e_fast = np.asarray(out)
+        num = np.sum(e_ref * e_fast, axis=-1)
+        den = np.maximum(
+            np.linalg.norm(e_ref, axis=-1) * np.linalg.norm(e_fast, axis=-1),
+            1e-12,
+        )
+        print(
+            f"[bench] fast-vs-parity embedding cosine: min {np.min(num / den):.7f}"
+        )
+
     # 2) delivered: the public __call__ law from host memory (uint8 NCHW).
     for _ in range(3):
         out = enc(obs)
@@ -252,7 +272,10 @@ def main_eval():
     print(
         json.dumps(
             {
-                "metric": f"r3m_serving_size{size}_delivered_frames_per_sec",
+                "metric": (
+                    f"r3m_serving_size{size}_delivered_frames_per_sec"
+                    + ("_fast" if precision == "fast" else "")
+                ),
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 4),

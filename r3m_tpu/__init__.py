@@ -86,7 +86,9 @@ def cleanup_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
     return agent
 
 
-def _load_from_artifacts(modelpath: str, configpath: str, mesh=None) -> R3MEncoder:
+def _load_from_artifacts(
+    modelpath: str, configpath: str, mesh=None, precision: str = "parity"
+) -> R3MEncoder:
     import dataclasses
 
     import yaml
@@ -130,39 +132,52 @@ def _load_from_artifacts(modelpath: str, configpath: str, mesh=None) -> R3MEncod
         params={"convnet": bundle["convnet"]["params"]},
         batch_stats=bundle["convnet"]["batch_stats"],
         mesh=mesh,
+        precision=precision,
     )
 
 
-def load_r3m(modelid: str, mesh=None) -> R3MEncoder:
+def load_r3m(modelid: str, mesh=None, precision: str = "parity") -> R3MEncoder:
     """Load a pretrained R3M visual encoder ("resnet50"/"resnet34"/"resnet18").
 
     Same registry + ``~/.r3m`` cache layout as the reference
     (r3m/__init__.py:44-75); weights are converted from the published torch
     checkpoints. The returned module is called with NCHW images in
     [0, 255] and returns [B, out_dim] embeddings.
+
+    `precision="parity"` (default) serves f32/HIGHEST — the lowering all
+    parity checks were taken with. `precision="fast"` serves the same
+    folded weights in bfloat16 for throughput-critical loops (measured
+    ~3× the parity path's device rate at cosine ≥ 0.9999 vs parity —
+    BASELINE.md round-4 fast-serving row).
     """
     from r3m_tpu.fetch import ensure_artifacts
 
     modelpath, configpath = ensure_artifacts(modelid, reproduce=False)
-    return _load_from_artifacts(modelpath, configpath, mesh=mesh)
+    return _load_from_artifacts(modelpath, configpath, mesh=mesh, precision=precision)
 
 
-def load_r3m_reproduce(modelid: str, mesh=None) -> R3MEncoder:
+def load_r3m_reproduce(
+    modelid: str, mesh=None, precision: str = "parity"
+) -> R3MEncoder:
     """Load paper-reproduction checkpoints ("r3m"/"r3m_noaug"/"r3m_nol1"/
     "r3m_nolang") — r3m/__init__.py:77-113 (with its `modelif` typo fixed,
     making r3m_nol1 / r3m_nolang actually loadable)."""
     from r3m_tpu.fetch import ensure_artifacts
 
     modelpath, configpath = ensure_artifacts(modelid, reproduce=True)
-    return _load_from_artifacts(modelpath, configpath, mesh=mesh)
+    return _load_from_artifacts(modelpath, configpath, mesh=mesh, precision=precision)
 
 
-def load_r3m_from_files(modelpath: str, configpath: str = None, mesh=None) -> R3MEncoder:
+def load_r3m_from_files(
+    modelpath: str, configpath: str = None, mesh=None, precision: str = "parity"
+) -> R3MEncoder:
     """Load from explicit artifact paths (offline hosts, local snapshots)."""
     if modelpath.endswith(".npz"):
-        return load_r3m_from_snapshot(modelpath, mesh=mesh)
+        return load_r3m_from_snapshot(modelpath, mesh=mesh, precision=precision)
     if configpath is not None:
-        return _load_from_artifacts(modelpath, configpath, mesh=mesh)
+        return _load_from_artifacts(
+            modelpath, configpath, mesh=mesh, precision=precision
+        )
     from r3m_tpu.checkpoint import load_torch_checkpoint
 
     bundle = load_torch_checkpoint(modelpath, include_language=False)
@@ -177,10 +192,13 @@ def load_r3m_from_files(modelpath: str, configpath: str = None, mesh=None) -> R3
         params={"convnet": bundle["convnet"]["params"]},
         batch_stats=bundle["convnet"]["batch_stats"],
         mesh=mesh,
+        precision=precision,
     )
 
 
-def load_r3m_from_snapshot(path: str, mesh=None) -> R3MEncoder:
+def load_r3m_from_snapshot(
+    path: str, mesh=None, precision: str = "parity"
+) -> R3MEncoder:
     """Embedding inference from a NATIVE training snapshot (.npz).
 
     The architecture comes from the snapshot's config metadata; the
@@ -206,4 +224,5 @@ def load_r3m_from_snapshot(path: str, mesh=None) -> R3MEncoder:
         params={"convnet": tree["params"]["convnet"]},
         batch_stats=tree.get("batch_stats", {}),
         mesh=mesh,
+        precision=precision,
     )

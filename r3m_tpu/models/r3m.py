@@ -292,12 +292,27 @@ class R3MEncoder:
     the forward data-parallel (the serving analogue of the reference's
     DataParallel wrap, r3m/__init__.py:72). Batch size must divide by the
     mesh size.
+
+    `precision`: `"parity"` (default) is the `load_r3m` law — f32 with
+    HIGHEST-precision matmuls, the lowering every golden pin and
+    torch-cosine check was taken with. `"fast"` runs the same BN-folded
+    forward in bfloat16 at the backend-default MXU precision for
+    throughput-critical serving (reward scoring inside an RL loop);
+    embeddings come back as f32 and agree with the parity path to bf16
+    rounding (cosine ≥ 0.9999 measured — BASELINE.md round-4 fast-serving
+    row; pinned by tests/test_serving_precision.py).
     """
 
     def __init__(
-        self, cfg: R3MConfig, params: Pytree, batch_stats: Pytree, mesh=None
+        self, cfg: R3MConfig, params: Pytree, batch_stats: Pytree, mesh=None,
+        precision: str = "parity",
     ):
+        if precision not in ("parity", "fast"):
+            raise ValueError(
+                f"precision must be 'parity' or 'fast', got {precision!r}"
+            )
         self.cfg = cfg
+        self.precision = precision
         self.mesh = mesh
         if mesh is not None:
             from r3m_tpu.parallel.mesh import replicate
@@ -310,6 +325,13 @@ class R3MEncoder:
             self.params = jax.tree_util.tree_map(jnp.asarray, params)
             self.batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
         self.module = self  # DataParallel-compat alias (ref accesses .module)
+
+        # "fast" trades HIGHEST-precision f32 matmuls for bf16 at the
+        # backend default; the fold/preprocess stay f32 (exact), only the
+        # conv/matmul stack runs in the reduced dtype, and the embedding is
+        # cast back to f32 at the boundary.
+        fast = precision == "fast"
+        mm_precision = None if fast else jax.lax.Precision.HIGHEST
 
         if cfg.size != 0:
             # Serving path: fold eval-mode BN into conv weights once — same
@@ -325,10 +347,12 @@ class R3MEncoder:
                     obs, mean, std, crop_size=cfg.image_size,
                     resize_to=cfg.resize_to,
                 )
-                return resnet_apply_folded(
+                out = resnet_apply_folded(
                     folded, x, size=cfg.size,
-                    precision=jax.lax.Precision.HIGHEST,
+                    compute_dtype=jnp.bfloat16 if fast else None,
+                    precision=mm_precision,
                 )
+                return out.astype(jnp.float32)
 
             self._folded = None
             self._folded_src = None  # strong refs => `is` checks are safe
@@ -348,19 +372,24 @@ class R3MEncoder:
 
             self._fwd = _fwd
         else:
+            serve_cfg = (
+                dataclasses.replace(cfg, compute_dtype="bfloat16")
+                if fast
+                else cfg
+            )
 
             @jax.jit
             def _fwd(params, batch_stats, obs_nchw):
                 obs = nchw_to_nhwc(obs_nchw)
                 emb, _ = r3m_embed(
-                    cfg,
+                    serve_cfg,
                     params,
                     batch_stats,
                     obs,
                     train=False,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=mm_precision,
                 )
-                return emb
+                return emb.astype(jnp.float32)
 
             self._fwd = _fwd
 
