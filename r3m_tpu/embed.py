@@ -77,17 +77,23 @@ def load_encoder(args):
         from r3m_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.n_devices)
+    precision = getattr(args, "precision", "parity")
     if args.snapshot:
         from r3m_tpu import load_r3m_from_snapshot
 
-        return load_r3m_from_snapshot(args.snapshot, mesh=mesh)
+        return load_r3m_from_snapshot(
+            args.snapshot, mesh=mesh, precision=precision
+        )
     if args.model_file:
         from r3m_tpu import load_r3m_from_files
 
-        return load_r3m_from_files(args.model_file, args.config_file or None, mesh=mesh)
+        return load_r3m_from_files(
+            args.model_file, args.config_file or None, mesh=mesh,
+            precision=precision,
+        )
     from r3m_tpu import load_r3m
 
-    return load_r3m(args.model, mesh=mesh)
+    return load_r3m(args.model, mesh=mesh, precision=precision)
 
 
 def main(argv=None) -> str:
@@ -110,6 +116,10 @@ def main(argv=None) -> str:
     p.add_argument("--n-devices", type=int, default=0,
                    help="shard each batch over an N-device data-parallel "
                    "mesh (0 = single device)")
+    p.add_argument("--precision", choices=("parity", "fast"), default="parity",
+                   help="parity = f32/HIGHEST (the load_r3m law); fast = "
+                   "bf16 folded serving, ~4x device rate at cosine "
+                   ">=0.9999 vs parity (BASELINE.md)")
     args = p.parse_args(argv)
 
     files = collect_image_files(args.inputs)

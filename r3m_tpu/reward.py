@@ -52,6 +52,7 @@ class R3MRewardModel:
         lang_max_len: int = 32,
         pad_mode: str = "fixed",
         bert_cfg=None,
+        precision: str = "parity",
     ):
         if "lang_rew" not in params:
             raise ValueError(
@@ -69,11 +70,16 @@ class R3MRewardModel:
         self.lang_max_len = lang_max_len
         self.pad_mode = pad_mode
 
-        # Reuse the serving encoder (load_r3m's path): BN-folded forward,
-        # HIGHEST precision — reward embeddings are bit-identical to what
-        # `load_r3m(...)(images)` returns for the same weights.
+        # Reuse the serving encoder (load_r3m's path): BN-folded forward.
+        # precision="parity" (default, f32/HIGHEST) makes reward embeddings
+        # bit-identical to what `load_r3m(...)(images)` returns for the same
+        # weights; "fast" runs the image encode in bf16 for high-rate RL
+        # reward loops (measured 4.0x/3.6x device rate at cosine >=0.9999,
+        # BASELINE.md fast-serving row). BERT + the reward MLP stay f32
+        # either way — they are a negligible share of the reward query.
         self._encoder = R3MEncoder(
-            cfg, {"convnet": self.params["convnet"]}, self.batch_stats
+            cfg, {"convnet": self.params["convnet"]}, self.batch_stats,
+            precision=precision,
         )
 
         from r3m_tpu.models.distilbert import BASE
@@ -99,6 +105,7 @@ class R3MRewardModel:
         vocab_path: str,
         lang_max_len: Optional[int] = None,
         pad_mode: str = "fixed",
+        precision: str = "parity",
     ) -> "R3MRewardModel":
         """Build from a native .npz training snapshot (config in metadata).
 
@@ -125,6 +132,7 @@ class R3MRewardModel:
             tokenizer=WordPieceTokenizer(vocab_file=vocab_path),
             lang_max_len=lang_max_len,
             pad_mode=pad_mode,
+            precision=precision,
         )
 
     @classmethod
@@ -134,6 +142,7 @@ class R3MRewardModel:
         bert_weights: Optional[str],
         vocab_path: str,
         pad_mode: str = "longest",
+        precision: str = "parity",
     ) -> "R3MRewardModel":
         """Build from a REFERENCE torch training snapshot (snapshot.pt).
 
@@ -185,6 +194,7 @@ class R3MRewardModel:
             tokenizer=WordPieceTokenizer(vocab_file=vocab_path),
             pad_mode=pad_mode,
             bert_cfg=bert_cfg,
+            precision=precision,
         )
 
     # -- reference-parity surface ------------------------------------------

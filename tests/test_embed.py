@@ -114,3 +114,28 @@ def test_embed_cli_n_devices(tmp_path):
     ])
     zm, zs = np.load(out), np.load(ref)
     np.testing.assert_allclose(zm["embeddings"], zs["embeddings"], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_embed_cli_fast_precision(tmp_path):
+    """--precision fast reaches the encoder; embeddings track parity."""
+    root = write_synthetic_dataset(
+        str(tmp_path / "d"), n_videos=1, min_len=4, max_len=4, size=48
+    )
+    cfg = R3MConfig(size=18, langweight=0.0, image_size=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    snap = save_train_snapshot(str(tmp_path), state, cfg, keep_step_copy=False)
+
+    fast = np.load(main([
+        root, "--snapshot", snap, "--precision", "fast",
+        "--out", str(tmp_path / "fast.npz"), "--batch", "4",
+    ]))["embeddings"]
+    parity = np.load(main([
+        root, "--snapshot", snap,
+        "--out", str(tmp_path / "parity.npz"), "--batch", "4",
+    ]))["embeddings"]
+    assert fast.dtype == np.float32
+    cos = np.sum(fast * parity, axis=-1) / np.maximum(
+        np.linalg.norm(fast, axis=-1) * np.linalg.norm(parity, axis=-1), 1e-12
+    )
+    assert np.all(cos >= 0.995), cos

@@ -218,3 +218,25 @@ def test_reward_from_torch_vit_snapshot(artifacts, tmp_path):
     imt = rng.integers(0, 255, size=(2, 3, 64, 64)).astype(np.float32)
     r = rm(im0, imt, ["pick up the cup", "open the door"])
     assert r.shape == (2,) and np.all(np.isfinite(np.asarray(r)))
+
+
+def test_reward_fast_precision(artifacts):
+    """precision='fast' threads to the internal encoder; rewards stay close.
+
+    The image-encode is the only stage the lever touches (BERT + the MLP
+    stay f32), so fast-vs-parity reward scores differ only through bf16
+    embedding rounding.
+    """
+    snap, bert, vocab = artifacts
+    rm = R3MRewardModel.from_snapshot(snap, bert, vocab)
+    rm_fast = R3MRewardModel.from_snapshot(snap, bert, vocab, precision="fast")
+    assert rm_fast._encoder.precision == "fast"
+    rng = np.random.default_rng(0)
+    im0 = rng.integers(0, 255, size=(2, 3, 32, 32)).astype(np.float32)
+    imt = rng.integers(0, 255, size=(2, 3, 32, 32)).astype(np.float32)
+    sents = ["pick up the cup", "open the door"]
+    r = np.asarray(rm(im0, imt, sents))
+    rf = np.asarray(rm_fast(im0, imt, sents))
+    assert rf.shape == r.shape and np.all(np.isfinite(rf))
+    # random-init embeddings are O(1); bf16 rounding moves scores by <<1
+    np.testing.assert_allclose(rf, r, atol=0.05)
