@@ -341,20 +341,22 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = bs * 5 * steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "r3m_pretrain_resnet50_frames_per_sec_per_chip"
-                    if size == 50
-                    else f"r3m_pretrain_size{size}_frames_per_sec_per_chip"
-                ),
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
-            }
-        )
-    )
+    result = {
+        "metric": (
+            "r3m_pretrain_resnet50_frames_per_sec_per_chip"
+            if size == 50
+            else f"r3m_pretrain_size{size}_frames_per_sec_per_chip"
+        ),
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
+    }
+    if size == 0:
+        # Tag the attention lowering so battery logs that sweep
+        # BENCH_VIT_FUSED stay attributable (auto resolves per
+        # R3MConfig.resolved_fused_attn — "batched" for this train step).
+        result["vit_fused"] = str(cfg.vit_fused_attn)
+    print(json.dumps(result))
 
 
 def _setup_compilation_cache():

@@ -147,8 +147,8 @@ def load_r3m(modelid: str, mesh=None, precision: str = "parity") -> R3MEncoder:
     `precision="parity"` (default) serves f32/HIGHEST — the lowering all
     parity checks were taken with. `precision="fast"` serves the same
     folded weights in bfloat16 for throughput-critical loops (measured
-    ~3× the parity path's device rate at cosine ≥ 0.9999 vs parity —
-    BASELINE.md round-4 fast-serving row).
+    4.0× the parity path's device rate on resnet50 at cosine ≥ 0.9999
+    vs parity — BASELINE.md round-4 fast-serving row).
     """
     from r3m_tpu.fetch import ensure_artifacts
 

@@ -93,7 +93,12 @@ class R3MConfig:
     # lowering the golden pins and torch-cosine checks were taken with;
     # the fwd-only kernel win is ~0.3 ms/step there). True = the
     # per-element 2-D unroll lowering (measured: faster fwd, slower bwd —
-    # net negative for training; kept as the tested variant).
+    # net negative for training; kept as the tested variant). Caveat for
+    # the "auto"/"batched" kernel paths: vit_b32_apply sniffs
+    # `jax.default_backend()` at TRACE time to pick interpret mode, so
+    # when AOT-lowering a training step for a NON-default backend (e.g.
+    # targeting TPU from a CPU-default host) pass an explicit False here
+    # instead of "auto" — the sniff would bake the wrong lowering in.
     vit_fused_attn: Any = "auto"
 
     def __post_init__(self):

@@ -31,10 +31,13 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def op_profile_summary(log_dir: str, top: int = 12) -> List[Tuple]:
-    """Parse an xplane trace into per-category rows, heaviest first.
+def op_profile_raw(log_dir: str, top: int = None) -> Tuple[List[Tuple], int]:
+    """Parse an xplane trace into RAW per-category rows, heaviest first.
 
-    Returns [(time_frac, tflops_per_s, gb_per_s, occurrences, name), ...].
+    Returns ([(time_ps, flops, bytes, occurrences, name), ...], total_time_ps)
+    — the undigested xprof op-profile numbers every audit in this repo
+    (BASELINE.md rooflines, scripts/project_v5p.py) derives from, so the
+    tree-walk / rawBytesAccessedArray quirks live in exactly one place.
     Requires the `xprof` package (present alongside tensorboard-plugin-
     profile); raises ImportError otherwise.
     """
@@ -52,14 +55,11 @@ def op_profile_summary(log_dir: str, top: int = 12) -> List[Tuple]:
     def walk(node, depth):
         m = node.get("metrics", {})
         if m.get("rawTime") and depth >= 2:
-            t = m["rawTime"]
-            fl = m.get("rawFlops", 0)
-            byt = (m.get("rawBytesAccessedArray") or [0])[0]
             rows.append(
                 (
-                    t,
-                    fl / (t / 1e12) / 1e12 if t else 0.0,
-                    byt / (t / 1e12) / 1e9 if t else 0.0,
+                    m["rawTime"],
+                    m.get("rawFlops", 0),
+                    (m.get("rawBytesAccessedArray") or [0])[0],
                     m.get("occurrences", 0),
                     node.get("name", "?"),
                 )
@@ -70,9 +70,27 @@ def op_profile_summary(log_dir: str, top: int = 12) -> List[Tuple]:
 
     walk(data["byProgram"], 0)
     rows.sort(reverse=True)
-    total = sum(r[0] for r in rows) or 1
+    total = sum(r[0] for r in rows)
+    return (rows[:top] if top else rows), total
+
+
+def op_profile_summary(log_dir: str, top: int = 12) -> List[Tuple]:
+    """Parse an xplane trace into per-category rows, heaviest first.
+
+    Returns [(time_frac, tflops_per_s, gb_per_s, occurrences, name), ...]
+    (digested from `op_profile_raw`; time is picoseconds there).
+    """
+    rows, total = op_profile_raw(log_dir, top)
+    total = total or 1
     return [
-        (t / total, tf, gb, occ, name) for t, tf, gb, occ, name in rows[:top]
+        (
+            t / total,
+            fl / (t / 1e12) / 1e12 if t else 0.0,
+            byt / (t / 1e12) / 1e9 if t else 0.0,
+            occ,
+            name,
+        )
+        for t, fl, byt, occ, name in rows
     ]
 
 

@@ -81,7 +81,12 @@ def prod_budget(bs_per_chip: int = 16) -> dict:
     )
     mesh = make_mesh(8)
     bert = distilbert_init(jax.random.PRNGKey(1))  # real geometry
-    state = replicate(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
+    host_state = create_train_state(cfg, jax.random.PRNGKey(0))
+    param_bytes = sum(
+        int(np.prod(np.shape(x))) * 4
+        for x in jax.tree_util.tree_leaves(host_state.params)
+    )
+    state = replicate(mesh, host_state)
     step = make_train_step(cfg, bert_params=bert, mesh=mesh, doaug="rctraj",
                            donate=False)
     batch = shard_batch(mesh, _batch(np.random.default_rng(0), cfg.bs, 224))
@@ -91,12 +96,6 @@ def prod_budget(bs_per_chip: int = 16) -> dict:
     compile_s = time.perf_counter() - t0
 
     report = collective_cost_report(hlo)
-    param_bytes = sum(
-        int(np.prod(np.shape(x))) * 4
-        for x in jax.tree_util.tree_leaves(
-            create_train_state(cfg, jax.random.PRNGKey(0)).params
-        )
-    )
     out = {
         "mode": "prod_budget",
         "config": f"resnet50/224px/bs={cfg.bs} global (16/chip), langweight=1, rctraj, bf16",

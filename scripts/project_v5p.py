@@ -84,35 +84,11 @@ def capture_profile(bs: int, trace_steps: int, profile_dir: str):
 
 
 def raw_rows(profile_dir: str, top: int = 24):
-    """(time_ps, flops, bytes, occurrences, name) per op category."""
-    import glob
+    """(time_ps, flops, bytes, occurrences, name) per op category —
+    the shared xprof parser behind every audit (utils/profiling.py)."""
+    from r3m_tpu.utils.profiling import op_profile_raw
 
-    from xprof.convert import raw_to_tool_data as rtd
-
-    files = sorted(
-        glob.glob(os.path.join(profile_dir, "plugins/profile/*/*.xplane.pb"))
-    )
-    out, _ = rtd.xspace_to_tool_data([files[-1]], "op_profile", {})
-    data = json.loads(out)
-    rows = []
-
-    def walk(node, depth):
-        m = node.get("metrics", {})
-        if m.get("rawTime") and depth >= 2:
-            rows.append((
-                m["rawTime"],
-                m.get("rawFlops", 0),
-                (m.get("rawBytesAccessedArray") or [0])[0],
-                m.get("occurrences", 0),
-                node.get("name", "?"),
-            ))
-            return
-        for c in node.get("children", []):
-            walk(c, depth + 1)
-
-    walk(data["byProgram"], 0)
-    rows.sort(reverse=True)
-    return rows[:top], sum(r[0] for r in rows)
+    return op_profile_raw(profile_dir, top)
 
 
 def project(rows, all_time_ps: float, bs: int, step_s: float):

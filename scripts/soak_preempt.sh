@@ -73,6 +73,7 @@ EOF
 echo "=== phase A: train to $STEPS, SIGTERM at step >= $KILL_AT ==="
 launch phaseA
 PID=$(cat "$RUN/run.pid")
+SENT_TERM=0
 while kill -0 "$PID" 2>/dev/null; do
   sleep 20
   S=$(last_step)
@@ -80,6 +81,7 @@ while kill -0 "$PID" 2>/dev/null; do
   if [ "$S" -ge "$KILL_AT" ]; then
     echo "  [watch] step $S >= $KILL_AT — sending SIGTERM"
     kill -TERM "$PID"
+    SENT_TERM=1
     break
   fi
 done
@@ -100,6 +102,12 @@ echo "--- last train.csv rows ---"
 tail -3 "$RUN/train.csv"
 
 FAIL=0
+# Guard against a VACUOUS pass: if phase A finished all $STEPS before the
+# watcher's first poll (fast configs / small $STEPS), no SIGTERM was ever
+# sent and the "soak" never exercised preemption or resume — that is a
+# failure of the soak, not of the trainer.
+[ "$SENT_TERM" -eq 1 ] || { echo "FAIL: phase A completed before SIGTERM was sent — nothing was preempted (raise STEPS or lower KILL_AT)"; FAIL=1; }
+[ "$KILLED_AT" -lt "$STEPS" ] || { echo "FAIL: kill landed at step $KILLED_AT >= $STEPS — phase B had nothing to resume"; FAIL=1; }
 [ "$RC_A" -eq 0 ] || { echo "FAIL: phase A exited $RC_A (SIGTERM must be graceful)"; FAIL=1; }
 [ "$RC_B" -eq 0 ] || { echo "FAIL: phase B exited $RC_B"; FAIL=1; }
 [ "$FINAL" -ge "$STEPS" ] || { echo "FAIL: final step $FINAL < $STEPS"; FAIL=1; }

@@ -21,6 +21,8 @@ suite stays green everywhere; conftest.py only forces the CPU platform
 when R3M_TPU_TESTS is unset.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -32,13 +34,32 @@ from r3m_tpu.ops.pallas_pool import maxpool_3x3s2
 from r3m_tpu.models.resnet import max_pool_3x3s2, max_pool_3x3s2_amax
 from tests.test_attention import _ref_attention
 
+_REQUESTED = os.environ.get("R3M_TPU_TESTS", "") not in ("", "0")
+_ON_TPU = jax.default_backend() == "tpu"
+
 pytestmark = [
     pytest.mark.tpu,
+    # Not requested -> skip (the default suite stays green everywhere).
+    # REQUESTED but the backend is not TPU -> the fixture below FAILS
+    # instead: bench_battery.sh stage 0 gates the perf stages on this
+    # tier, and JAX silently falls back to CPU when libtpu init fails —
+    # an all-skipped green run would defeat the gate (pytest exits 0).
     pytest.mark.skipif(
-        jax.default_backend() == "cpu",
+        not _REQUESTED and not _ON_TPU,
         reason="real-chip lowering tier (set R3M_TPU_TESTS=1 on a TPU host)",
     ),
 ]
+
+
+@pytest.fixture(autouse=True)
+def _no_vacuous_pass():
+    if _REQUESTED and not _ON_TPU:
+        pytest.fail(
+            "R3M_TPU_TESTS=1 but jax.default_backend() is "
+            f"{jax.default_backend()!r} — libtpu fell back; this tier "
+            "would be vacuous (nothing lowered through Mosaic)"
+        )
+    yield
 
 # ViT-B/32 bench shape: bs=32 clips -> B = 160 frames, T = 50 tokens,
 # H*D = 768 packed (12 heads of 64).
