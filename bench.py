@@ -204,7 +204,18 @@ def main_eval():
     # "parity" = the load_r3m law (f32/HIGHEST); "fast" = bf16 folded
     # serving (R3MEncoder precision lever, measured in BASELINE.md)
     precision = os.environ.get("BENCH_PRECISION", "parity")
-    cfg = R3MConfig(size=size, langweight=0.0)
+    # ViT-only: serving attention lowering. Default "auto" (= einsum at
+    # inference — resolved_fused_attn); 1/batched opt into the Pallas
+    # kernel to measure the fwd-only variants under serving precision.
+    cfg = R3MConfig(
+        size=size,
+        langweight=0.0,
+        vit_fused_attn=(
+            _parse_fused(os.environ.get("BENCH_VIT_FUSED", "auto"))
+            if size == 0
+            else "auto"
+        ),
+    )
     state = r3m_init(jax.random.PRNGKey(0), cfg)
     enc = R3MEncoder(
         cfg, state["params"], state["batch_stats"], precision=precision
@@ -247,8 +258,14 @@ def main_eval():
 
     if precision == "fast":
         # honest-mode check: print the fast-vs-parity embedding cosine on
-        # this exact batch so the throughput row carries its accuracy cost
-        ref = R3MEncoder(cfg, state["params"], state["batch_stats"])
+        # this exact batch so the throughput row carries its accuracy cost.
+        # The reference is the TRUE parity law — default attention lowering
+        # (auto -> einsum at inference), even when this run opts the fast
+        # path into a fused kernel via BENCH_VIT_FUSED.
+        import dataclasses
+
+        ref_cfg = dataclasses.replace(cfg, vit_fused_attn="auto")
+        ref = R3MEncoder(ref_cfg, state["params"], state["batch_stats"])
         e_ref = np.asarray(ref._fwd(ref.params, ref.batch_stats, obs_dev))
         e_fast = np.asarray(out)
         num = np.sum(e_ref * e_fast, axis=-1)
@@ -269,19 +286,18 @@ def main_eval():
         out = enc(obs)
     _sync(out)
     fps = bs * steps / (time.perf_counter() - t0)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"r3m_serving_size{size}_delivered_frames_per_sec"
-                    + ("_fast" if precision == "fast" else "")
-                ),
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
-            }
-        )
-    )
+    result = {
+        "metric": (
+            f"r3m_serving_size{size}_delivered_frames_per_sec"
+            + ("_fast" if precision == "fast" else "")
+        ),
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
+    }
+    if size == 0:
+        result["vit_fused"] = str(cfg.vit_fused_attn)
+    print(json.dumps(result))
 
 
 def main():

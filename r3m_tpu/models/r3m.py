@@ -337,6 +337,9 @@ class R3MEncoder:
         # cast back to f32 at the boundary.
         fast = precision == "fast"
         mm_precision = None if fast else jax.lax.Precision.HIGHEST
+        # attention lowering the serving forward actually uses (ViT only;
+        # None on ResNet — no attention). Set below for the ViT branch.
+        self.vit_serving_attn = None
 
         if cfg.size != 0:
             # Serving path: fold eval-mode BN into conv weights once — same
@@ -377,8 +380,26 @@ class R3MEncoder:
 
             self._fwd = _fwd
         else:
+            # Fast-mode ViT serving resolves "auto" to the batched Pallas
+            # kernel: the forward-only lowerings measured +8.2% over the
+            # einsum path in bf16 (9,021 vs 8,333 f/s device-resident,
+            # identical fast-vs-parity cosine — BASELINE.md round-4
+            # fast-serving-attention row). PARITY serving keeps einsum
+            # ("auto" at train=False) — the f32/HIGHEST lowering the golden
+            # pins were taken with. Explicit vit_fused_attn values pass
+            # through in both modes.
+            serve_fused = cfg.vit_fused_attn
+            if fast and serve_fused == "auto":
+                serve_fused = "batched"
+            self.vit_serving_attn = (
+                cfg.resolved_fused_attn(train=False)
+                if serve_fused == "auto"
+                else serve_fused
+            )
             serve_cfg = (
-                dataclasses.replace(cfg, compute_dtype="bfloat16")
+                dataclasses.replace(
+                    cfg, compute_dtype="bfloat16", vit_fused_attn=serve_fused
+                )
                 if fast
                 else cfg
             )

@@ -74,7 +74,7 @@ class R3MRewardModel:
         # precision="parity" (default, f32/HIGHEST) makes reward embeddings
         # bit-identical to what `load_r3m(...)(images)` returns for the same
         # weights; "fast" runs the image encode in bf16 for high-rate RL
-        # reward loops (measured 4.0x/3.6x device rate at cosine >=0.9999,
+        # reward loops (measured 4.0x/3.9x device rate at cosine >=0.9999,
         # BASELINE.md fast-serving row). BERT + the reward MLP stay f32
         # either way — they are a negligible share of the reward query.
         self._encoder = R3MEncoder(

@@ -61,6 +61,61 @@ def test_fast_matches_parity(rng, size):
     assert np.all(rel < 0.05), rel
 
 
+@pytest.mark.parametrize("lowering", [True, "batched"], ids=["unrolled", "batched"])
+def test_fast_vit_with_fused_kernel_matches_parity(rng, lowering):
+    """Fast serving + an explicit Pallas attention lowering stays on-contract.
+
+    `vit_fused_attn="auto"` keeps SERVING on the einsum path, but fast-mode
+    users can opt the bf16 forward into the kernel (the fwd-only lowerings
+    measured faster than einsum at the audit shape — BASELINE.md); the
+    embedding must still agree with the parity-default einsum f32 path to
+    bf16 rounding. Interpret-mode here; real lowering is `pytest -m tpu`.
+    """
+    cfg = R3MConfig(size=0, image_size=64, vit_fused_attn=lowering)
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+    parity_default = R3MEncoder(
+        dataclasses.replace(cfg, vit_fused_attn="auto"),
+        state["params"], state["batch_stats"],
+    )
+    fast_kernel = R3MEncoder(
+        cfg, state["params"], state["batch_stats"], precision="fast"
+    )
+    images = rng.integers(0, 256, size=(2, 3, 64, 64)).astype(np.float32)
+    e_ref = np.asarray(parity_default(images))
+    e_fast = np.asarray(fast_kernel(images))
+    assert e_fast.dtype == np.float32
+    assert np.all(_cosine_rows(e_fast, e_ref) >= 0.995)
+
+
+def test_fast_vit_auto_resolves_to_batched_kernel():
+    """'auto' serving resolution: einsum for parity, batched kernel for fast.
+
+    Fast mode is the throughput contract, and the kernel's forward measured
+    +8.2% over einsum in bf16 at identical cosine (BASELINE.md round-4
+    fast-serving-attention row); parity mode must stay on the einsum
+    lowering the golden pins were taken with. Explicit values pass through.
+    """
+    cfg = R3MConfig(size=0, image_size=64)
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+
+    def enc(cfg, precision):
+        return R3MEncoder(
+            cfg, state["params"], state["batch_stats"], precision=precision
+        )
+
+    assert enc(cfg, "parity").vit_serving_attn is False
+    assert enc(cfg, "fast").vit_serving_attn == "batched"
+    # explicit choices are never overridden
+    explicit = dataclasses.replace(cfg, vit_fused_attn=True)
+    assert enc(explicit, "fast").vit_serving_attn is True
+    assert enc(explicit, "parity").vit_serving_attn is True
+    # ResNet encoders carry no attention lowering
+    rcfg = R3MConfig(size=18, image_size=64)
+    rstate = r3m_init(jax.random.PRNGKey(0), rcfg)
+    renc = R3MEncoder(rcfg, rstate["params"], rstate["batch_stats"])
+    assert renc.vit_serving_attn is None
+
+
 def test_invalid_precision_rejected():
     cfg = R3MConfig(size=18, image_size=64)
     state = r3m_init(jax.random.PRNGKey(0), cfg)
