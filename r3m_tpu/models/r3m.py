@@ -88,10 +88,12 @@ class R3MConfig:
     # them. "auto" | False | True | "batched". "auto" (default) resolves
     # per call: the "batched" 3-D-dot lowering for TRAINING (measured
     # accept on the real chip — +15-20% end-to-end over the einsum path,
-    # BASELINE.md round-4 ViT audit) and the einsum path for serving
-    # (parity-grade HIGHEST-precision f32 inference stays on the XLA
-    # lowering the golden pins and torch-cosine checks were taken with;
-    # the fwd-only kernel win is ~0.3 ms/step there). True = the
+    # BASELINE.md round-4 ViT audit) and the einsum path for PARITY
+    # serving (HIGHEST-precision f32 inference stays on the XLA lowering
+    # the golden pins and torch-cosine checks were taken with). FAST
+    # serving (R3MEncoder precision="fast", already bf16) resolves "auto"
+    # to the batched kernel instead — measured +8.2% forward-only at
+    # identical cosine (BASELINE.md fast-serving-attention row). True = the
     # per-element 2-D unroll lowering (measured: faster fwd, slower bwd —
     # net negative for training; kept as the tested variant). Caveat for
     # the "auto"/"batched" kernel paths: vit_b32_apply sniffs

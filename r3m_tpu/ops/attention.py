@@ -29,9 +29,12 @@ lowering wins — fwd+bwd 1.194 ms vs the einsum path's 1.527 ms at the
 audit shape, +19.6% end-to-end on the ViT train step — and is the
 TRAINING default via `R3MConfig.vit_fused_attn="auto"`. The 2-D-unroll
 lowering's backward is slower than einsum (1.892 ms) and stays opt-in.
-Serving keeps the einsum path (parity-grade f32/HIGHEST inference stays
-on the lowering the golden pins were taken with). Real-chip lowering
-legality is pinned by `tests/test_tpu_kernels.py` (`pytest -m tpu`).
+PARITY serving keeps the einsum path (f32/HIGHEST inference stays
+on the lowering the golden pins were taken with); FAST serving (bf16)
+resolves to the batched kernel — forward-only it measured +8.2% over
+einsum at identical cosine (BASELINE.md fast-serving-attention row).
+Real-chip lowering legality is pinned by `tests/test_tpu_kernels.py`
+(`pytest -m tpu`).
 """
 
 from __future__ import annotations
