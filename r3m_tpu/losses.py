@@ -43,6 +43,13 @@ def draw_permutations(key: jax.Array, bs: int, num_neg: int) -> Dict[str, jax.Ar
     (negative-round, loss-term) for language (trainer.py:86-92) and one per
     (negative-round, {es0, es2}) for TCN (trainer.py:135-137).
     """
+    if num_neg == 0:
+        # no cross-video negatives (the within-video negative remains,
+        # matching the reference's num_neg=0 behavior where the negative
+        # lists still hold the within-video entry) — jnp.stack needs at
+        # least one array, so emit the empty shapes directly
+        zero = jnp.zeros((0, 3, bs), jnp.int32)
+        return {"lang": zero, "tcn": zero[:, :2]}
     k_lang, k_tcn = jax.random.split(key)
     lang_keys = jax.random.split(k_lang, num_neg * 3)
     tcn_keys = jax.random.split(k_tcn, num_neg * 2)
@@ -162,12 +169,16 @@ def tcn_loss(
     sim_1_2 = sim(cfg, es2, es1)
     sim_0_1 = sim(cfg, es1, es0)
 
+    # num_negatives=0 => no cross-video negatives: [B, 0] stacks so the
+    # sum-of-exp terms below vanish (jnp.stack itself rejects empty lists)
+    bs = es0.shape[0]
+    empty = jnp.zeros((bs, 0), jnp.float32)
     neg0 = jnp.stack(
         [sim(cfg, es0, es0[perms[k, 0]]) for k in range(cfg.num_negatives)], axis=-1
-    )
+    ) if cfg.num_negatives else empty
     neg2 = jnp.stack(
         [sim(cfg, es2, es2[perms[k, 1]]) for k in range(cfg.num_negatives)], axis=-1
-    )
+    ) if cfg.num_negatives else empty
 
     # trainer.py:144-145 — note each term's denominator also includes sim_0_2.
     ratio1 = jnp.exp(sim_1_2) / (

@@ -146,6 +146,24 @@ def _encode_and_loss(
     return r3m_loss(cfg, params, emb, lang_emb, lang_mask, perms) + (new_stats,)
 
 
+def place_bert_params(bert_params: Pytree, mesh) -> Pytree:
+    """Replicate the frozen BERT tree over the mesh — idempotently.
+
+    A tree whose leaves already carry the target replicated sharding is
+    returned AS-IS, so `make_train_step` and `make_eval_step` built from
+    the same pre-placed tree share one set of device buffers instead of
+    each `device_put`-ing its own ~265 MB replica (the workspace places
+    once and hands the same tree to both builders).
+    """
+    target = replicated(mesh)
+    leaves = jax.tree_util.tree_leaves(bert_params)
+    if leaves and all(
+        isinstance(x, jax.Array) and x.sharding == target for x in leaves
+    ):
+        return bert_params
+    return jax.device_put(bert_params, target)
+
+
 def _check_bert(
     cfg: R3MConfig, bert_params: Optional[Pytree], mesh=None
 ) -> Optional[Pytree]:
@@ -162,7 +180,7 @@ def _check_bert(
     if bert_params is None:
         return None
     if mesh is not None:
-        return jax.device_put(bert_params, replicated(mesh))
+        return place_bert_params(bert_params, mesh)
     return jax.tree_util.tree_map(jnp.asarray, bert_params)
 
 

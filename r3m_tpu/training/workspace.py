@@ -130,6 +130,12 @@ class Workspace:
                 )
             from r3m_tpu.text.tokenizer import WordPieceTokenizer
 
+            if not cfg.get("vocab_path"):
+                raise ValueError(
+                    "agent.langweight > 0 requires cfg.vocab_path (the "
+                    "WordPiece vocab companion of bert_weights; both are "
+                    "written by `python -m r3m_tpu.prepare_language`)"
+                )
             self.tokenizer = WordPieceTokenizer(vocab_file=cfg["vocab_path"])
 
         # ---- data ---------------------------------------------------------
@@ -185,6 +191,14 @@ class Workspace:
         if doaug in ("0", "False", "None"):
             doaug = "none"
         print("Initializing Model")
+        if self.bert_params is not None and self.mesh is not None:
+            # replicate the frozen BERT ONCE; place_bert_params is
+            # idempotent, so the train and eval step builders below see
+            # already-placed leaves and share these buffers instead of
+            # each device_put-ing a ~265 MB replica
+            from r3m_tpu.training.trainer import place_bert_params
+
+            self.bert_params = place_bert_params(self.bert_params, self.mesh)
         self.train_step = make_train_step(
             self.model_cfg, bert_params=self.bert_params, mesh=self.mesh,
             doaug=doaug, grad_accum=int(cfg.get("grad_accum", 1) or 1),

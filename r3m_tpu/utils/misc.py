@@ -70,6 +70,10 @@ class Every:
         if self._every is None:
             return False
         every = int(self._every) // self._action_repeat
+        if every <= 0:
+            # eval_freq=0 (or < action_repeat) means "never" — the usable
+            # off-switch; the modulo below would raise ZeroDivisionError
+            return False
         return step % every == 0
 
 

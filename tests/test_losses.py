@@ -196,6 +196,36 @@ def test_draw_permutations_shapes_and_validity():
             assert sorted(row.tolist()) == list(range(8))
 
 
+def test_num_negatives_zero_supported(rng):
+    """num_negatives=0 (within-video negatives only) must trace and train.
+
+    The reference supports num_neg=0 (its negative lists still hold the
+    within-video entry, trainer.py:94-99/138-141); jnp.stack over an empty
+    permutation list used to raise at trace time.
+    """
+    from r3m_tpu.models.r3m import R3MConfig
+    from r3m_tpu.models.language_reward import language_reward_init
+
+    bs, d = 4, 16
+    cfg = R3MConfig(size=18, hidden_dim=d, num_negatives=0,
+                    langweight=1.0, tcnweight=1.0, lang_dim=8)
+    perms = draw_permutations(jax.random.PRNGKey(0), bs, 0)
+    assert perms["lang"].shape == (0, 3, bs)
+    assert perms["tcn"].shape == (0, 2, bs)
+
+    params = {"lang_rew": language_reward_init(
+        jax.random.PRNGKey(1), im_dim=d, hidden_dim=16, lang_dim=8)}
+    emb = jnp.asarray(rng.normal(size=(bs, 5, d)), jnp.float32)
+    lang = jnp.asarray(rng.normal(size=(bs, 8)), jnp.float32)
+    mask = jnp.ones((bs,), jnp.float32)
+    loss, metrics = jax.jit(
+        lambda e: r3m_loss(cfg, params, e, lang, mask, perms)
+    )(emb)
+    assert np.isfinite(float(loss))
+    for k in ("rewloss", "tcnloss", "aligned"):
+        assert np.isfinite(float(metrics[k]))
+
+
 def test_cosine_sim_zero_embedding_no_nan():
     """torch CosineSimilarity(eps=1e-8) semantics: zero vectors give 0."""
     cfg = R3MConfig(size=18, l2dist=False)

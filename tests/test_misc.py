@@ -21,6 +21,9 @@ def test_until_every():
     every = Every(3)
     assert [every(s) for s in range(7)] == [True, False, False] * 2 + [True]
     assert not Every(None)(0)
+    # eval_freq=0 is the usable off-switch: never fires, never divides by 0
+    assert not any(Every(0)(s) for s in range(5))
+    assert not Every(2, action_repeat=4)(0)  # every < action_repeat: never
 
 
 def test_schedule_parser():

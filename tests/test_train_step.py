@@ -143,6 +143,23 @@ def test_bert_params_numpy_leaves(bert_params):
     assert np.isfinite(float(metrics["full_loss"]))
 
 
+def test_place_bert_params_idempotent(bert_params):
+    """One replicated BERT copy is shared by the train AND eval builders.
+
+    The workspace places the frozen tree once; a second placement of an
+    already-placed tree must return the SAME object (not a fresh ~265 MB
+    replica per step builder — the regression this guards)."""
+    from r3m_tpu.training.trainer import place_bert_params
+
+    mesh = make_mesh()
+    placed = place_bert_params(bert_params, mesh)
+    assert place_bert_params(placed, mesh) is placed
+    # and the step-builder path reuses it rather than re-placing
+    from r3m_tpu.training.trainer import _check_bert
+
+    assert _check_bert(CFG, placed, mesh=mesh) is placed
+
+
 @pytest.mark.slow
 def test_grad_accum_matches_manual_microbatch_average(bert_params):
     """grad_accum=2 must equal the hand-computed two-microbatch procedure:

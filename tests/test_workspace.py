@@ -38,6 +38,34 @@ def _base_cfg(dataset_root, tmp_path):
     )
 
 
+def test_missing_vocab_path_is_actionable(dataset_root, tmp_path):
+    """langweight>0 without vocab_path must raise the explicit config error
+    (not a bare KeyError from deep inside __init__), mirroring the
+    bert_weights companion check."""
+    from r3m_tpu.models.distilbert import DistilBertConfig, distilbert_init
+    from r3m_tpu.checkpoint import save_snapshot
+    from r3m_tpu.training.workspace import Workspace
+
+    import jax
+
+    import dataclasses
+
+    bcfg = DistilBertConfig(vocab_size=50, dim=16, n_layers=1, n_heads=2,
+                            hidden_dim=32, max_position_embeddings=16)
+    bert = tmp_path / "bert.npz"
+    save_snapshot(
+        str(bert),
+        distilbert_init(jax.random.PRNGKey(0), bcfg),
+        meta={"bert_config": dataclasses.asdict(bcfg)},
+    )
+    cfg = _base_cfg(dataset_root, tmp_path)
+    cfg["agent"]["langweight"] = 1.0
+    cfg["bert_weights"] = str(bert)
+    cfg["vocab_path"] = ""
+    with pytest.raises(ValueError, match="vocab_path"):
+        Workspace(cfg, work_dir=str(tmp_path / "novocab"))
+
+
 def test_config_interpolation_and_overrides(dataset_root, tmp_path):
     cfg = _base_cfg(dataset_root, tmp_path)
     assert cfg.agent["lr"] == cfg["lr"]  # ${lr} interpolation
