@@ -24,11 +24,14 @@ StateDict = Mapping[str, Any]
 
 
 def _np(t) -> Array:
-    """torch.Tensor | np.ndarray -> float32 numpy array (host)."""
-    if isinstance(t, np.ndarray):
-        return np.asarray(t, dtype=np.float32)
-    # torch tensor without importing torch at module scope
-    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+    """torch.Tensor | np.ndarray -> float32 numpy array (host).
+
+    Alias of the ONE converter law in models/layers.py:torch_to_np, so a
+    dtype/layout fix there reaches every import path (ViT/DistilBERT use
+    layers.py directly; the resnet/lang_rew converters below use this)."""
+    from r3m_tpu.models.layers import torch_to_np
+
+    return torch_to_np(t)
 
 
 def strip_prefix(sd: StateDict, prefix: str = "module.") -> Dict[str, Any]:
@@ -100,11 +103,15 @@ def convert_resnet(sd: StateDict, size: int, prefix: str = "") -> Tuple[Dict, Di
 
 
 def convert_linear(sd: StateDict, key: str) -> Dict[str, Array]:
-    """torch nn.Linear -> {"w": [in,out], "b": [out]}."""
-    out = {"w": np.transpose(_np(sd[f"{key}.weight"]))}
+    """torch nn.Linear -> {"w": [in,out], "b": [out]}.
+
+    Same law as models/layers.py:convert_linear (delegates to it when a
+    bias exists); this wrapper additionally accepts bias-free Linears."""
     if f"{key}.bias" in sd:
-        out["b"] = _np(sd[f"{key}.bias"])
-    return out
+        from r3m_tpu.models.layers import convert_linear as _shared
+
+        return dict(_shared(sd, key))
+    return {"w": np.transpose(_np(sd[f"{key}.weight"]))}
 
 
 def convert_language_reward(sd: StateDict, prefix: str = "lang_rew.") -> Dict:

@@ -110,6 +110,17 @@ def distilbert_apply(
     masking of attention scores at padded KEY positions, softmax in f32.
     """
     b, t = input_ids.shape
+    max_pos = params["embeddings"]["pos"].shape[0]
+    if t > max_pos:
+        # XLA clamps out-of-bounds gathers, so positions beyond the table
+        # would all silently reuse the last row (quietly wrong embeddings)
+        # where HF/torch raises — fail loudly instead. t is static under
+        # jit, so this is a trace-time check.
+        raise ValueError(
+            f"sequence length {t} exceeds the position-embedding table "
+            f"({max_pos}, cfg.max_position_embeddings) — truncate or "
+            "retokenize with a smaller lang_max_len"
+        )
     pos_ids = jnp.arange(t)[None, :]
     x = params["embeddings"]["word"][input_ids] + params["embeddings"]["pos"][pos_ids]
     x = _layer_norm(x, params["embeddings"]["ln"], cfg.layer_norm_eps)

@@ -390,8 +390,13 @@ class R3MEncoder:
             # ("auto" at train=False) — the f32/HIGHEST lowering the golden
             # pins were taken with. Explicit vit_fused_attn values pass
             # through in both modes.
+            # Mesh serving keeps "auto" on einsum: pallas_call has no GSPMD
+            # partitioning rule (and this path is not shard_map-wrapped),
+            # so under a sharded batch the kernel would force a gather to
+            # full-batch per layer — einsum partitions cleanly. Explicit
+            # kernel values still pass through for users who shard outside.
             serve_fused = cfg.vit_fused_attn
-            if fast and serve_fused == "auto":
+            if fast and serve_fused == "auto" and mesh is None:
                 serve_fused = "batched"
             self.vit_serving_attn = (
                 cfg.resolved_fused_attn(train=False)

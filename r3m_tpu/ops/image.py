@@ -38,13 +38,18 @@ def resize_shorter_side(x: jax.Array, target: int = 256) -> jax.Array:
     """torchvision Resize(int): scale so the shorter side == target.
 
     Shapes are static under jit, so the output size is computed at trace
-    time. Bilinear, no antialias (torch 1.7.1 tensor semantics).
+    time. Bilinear, no antialias (torch 1.7.1 tensor semantics). The long
+    edge TRUNCATES — torchvision's functional.resize computes
+    ``int(size * w / h)`` (0.8.x `_interpolate` sizing, unchanged since) —
+    so e.g. 427x640 -> 256x383, NOT the round()ed 384; the off-by-one
+    moves the bilinear grid and the CenterCrop window, which is visible
+    in embedding parity for non-native input sizes.
     """
     b, h, w, c = x.shape
     if h <= w:
-        nh, nw = target, max(1, round(w * target / h))
+        nh, nw = target, max(1, int(w * target / h))
     else:
-        nh, nw = max(1, round(h * target / w)), target
+        nh, nw = max(1, int(h * target / w)), target
     return jax.image.resize(x, (b, nh, nw, c), method="bilinear", antialias=False)
 
 

@@ -146,6 +146,27 @@ def _encode_and_loss(
     return r3m_loss(cfg, params, emb, lang_emb, lang_mask, perms) + (new_stats,)
 
 
+def _resolve_fused_attn_for_mesh(cfg: R3MConfig, mesh) -> R3MConfig:
+    """Keep "auto" on the einsum attention path when the step is sharded.
+
+    `pl.pallas_call` carries no GSPMD partitioning rule and this step is
+    jit-with-shardings, not shard_map — under a batch-sharded mesh the
+    kernel custom-call would force per-layer gathers to the full global
+    batch (or fail to partition), negating data parallelism. The kernel's
+    measured win (BASELINE.md round-4) is a SINGLE-CHIP result; einsum
+    partitions cleanly, so "auto" falls back to it on a mesh. Explicit
+    kernel values pass through unchanged for callers who wrap the step in
+    shard_map themselves. Multi-chip hardware is unavailable here, so the
+    sharded-kernel path stays deliberately unclaimed until it can be
+    validated (docs/DESIGN.md).
+    """
+    import dataclasses
+
+    if mesh is not None and cfg.size == 0 and cfg.vit_fused_attn == "auto":
+        return dataclasses.replace(cfg, vit_fused_attn=False)
+    return cfg
+
+
 def place_bert_params(bert_params: Pytree, mesh) -> Pytree:
     """Replicate the frozen BERT tree over the mesh — idempotently.
 
@@ -221,6 +242,7 @@ def make_train_step(
             f"doaug must be one of 'none'|'rc'|'rctraj', got {doaug!r}"
             " — an unknown value would silently train without augmentation"
         )
+    cfg = _resolve_fused_attn_for_mesh(cfg, mesh)
     bert_params = _check_bert(cfg, bert_params, mesh)
     tx = make_optimizer(cfg)
 
@@ -356,6 +378,7 @@ def make_eval_step(
     Matches the reference's `update(eval=True)` under torch.no_grad
     (train_representation.py:114-117): model.eval() + skip the step.
     """
+    cfg = _resolve_fused_attn_for_mesh(cfg, mesh)
     bert_params = _check_bert(cfg, bert_params, mesh)
 
     def eval_fn(

@@ -165,3 +165,46 @@ def test_mean_without_std_rejected():
         random_resized_crop_clips(
             jax.random.PRNGKey(0), clips, out_size=8, mean=(0.5, 0.5, 0.5)
         )
+
+
+def test_resize_shorter_side_torchvision_sizing(rng):
+    """The serving Resize(256) law truncates the long edge like torchvision.
+
+    torchvision functional.resize (0.8.x sizing, unchanged since) computes
+    the long edge as int(size * long / short) — truncation, not round().
+    E.g. 427x640 -> 256x383 (round would give 384, shifting the bilinear
+    grid and the CenterCrop window; regression found round()ing)."""
+    from r3m_tpu.ops.image import resize_shorter_side
+
+    cases = {
+        (427, 640): (256, 383),
+        (640, 427): (383, 256),
+        (480, 640): (256, 341),
+        (300, 500): (256, 426),
+        (256, 256): (256, 256),
+        (1, 10000): (256, 2560000),
+    }
+    for (h, w), (eh, ew) in cases.items():
+        # geometry via eval_shape: no giant allocations for extreme ratios
+        out = jax.eval_shape(
+            resize_shorter_side,
+            jax.ShapeDtypeStruct((1, h, w, 1), jnp.float32),
+        )
+        assert out.shape[1:3] == (eh, ew), ((h, w), out.shape)
+
+    # and pixel-level parity with torch's bilinear (align_corners=False,
+    # no antialias — the 1.7.1 tensor path) on one non-native geometry
+    x = rng.uniform(0, 1, size=(1, 120, 97, 3)).astype(np.float32)
+    ours = np.asarray(resize_shorter_side(jnp.asarray(x), 64))
+    ref = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=(int(64 * 120 / 97), 64),
+            mode="bilinear",
+            align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

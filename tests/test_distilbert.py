@@ -107,3 +107,22 @@ def test_config_from_state_accepts_head_prefix_and_rejects_garbage():
     }
     with pytest.raises(ValueError, match="transformer.layer"):
         distilbert_config_from_state(bad)
+
+
+def test_over_length_sequence_fails_loudly(rng):
+    """t > max_position_embeddings must raise, not silently clamp.
+
+    XLA clamps out-of-bounds gathers, so positions past the table would
+    all reuse the last row — quietly wrong sentence embeddings where
+    HF/torch raises an index error (regression guard)."""
+    from r3m_tpu.models.distilbert import distilbert_init
+
+    params = distilbert_init(jax.random.PRNGKey(0), SMALL)
+    t = SMALL.max_position_embeddings + 1
+    ids = jnp.asarray(rng.integers(0, SMALL.vocab_size, size=(2, t)), jnp.int32)
+    mask = jnp.ones((2, t), jnp.int32)
+    with pytest.raises(ValueError, match="position-embedding table"):
+        distilbert_apply(params, ids, mask, SMALL)
+    # the boundary length still works
+    out = distilbert_apply(params, ids[:, :-1], mask[:, :-1], SMALL)
+    assert out.shape == (2, t - 1, SMALL.dim)

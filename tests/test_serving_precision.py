@@ -116,6 +116,40 @@ def test_fast_vit_auto_resolves_to_batched_kernel():
     assert renc.vit_serving_attn is None
 
 
+def test_fast_vit_auto_stays_einsum_on_mesh(rng):
+    """Under a multi-chip mesh, fast "auto" keeps the einsum path.
+
+    pallas_call has no GSPMD partitioning rule and the serving forward is
+    jit-with-shardings (not shard_map), so the kernel would force
+    per-layer full-batch gathers on a sharded batch. The einsum path
+    partitions cleanly; explicit kernel values still pass through for
+    callers who shard outside.
+    """
+    from r3m_tpu.parallel.mesh import make_mesh
+
+    cfg = R3MConfig(size=0, image_size=64)
+    state = r3m_init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh()
+    enc = R3MEncoder(
+        cfg, state["params"], state["batch_stats"], mesh=mesh,
+        precision="fast",
+    )
+    assert enc.vit_serving_attn is False
+    images = rng.integers(0, 256, size=(8, 3, 64, 64)).astype(np.float32)
+    out = np.asarray(enc(images))
+    assert out.shape == (8, 768) and np.all(np.isfinite(out))
+    # and the train/eval builders apply the same mesh resolution
+    from r3m_tpu.training.trainer import _resolve_fused_attn_for_mesh
+
+    assert _resolve_fused_attn_for_mesh(cfg, mesh).vit_fused_attn is False
+    assert _resolve_fused_attn_for_mesh(cfg, None).vit_fused_attn == "auto"
+    explicit = dataclasses.replace(cfg, vit_fused_attn="batched")
+    assert (
+        _resolve_fused_attn_for_mesh(explicit, mesh).vit_fused_attn
+        == "batched"
+    )
+
+
 def test_invalid_precision_rejected():
     cfg = R3MConfig(size=18, image_size=64)
     state = r3m_init(jax.random.PRNGKey(0), cfg)
