@@ -373,8 +373,11 @@ def restore_like(saved, ref):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def load_train_snapshot(path: str, state):
-    """Restore a TrainState from a snapshot, preserving pytree dtypes."""
+def load_train_snapshot(path: str, state, with_meta: bool = False):
+    """Restore a TrainState from a snapshot, preserving pytree dtypes.
+
+    `with_meta=True` returns ``(state, meta)`` — one npz read serves both
+    the weights and run facts like the data-stream resume counters."""
     from r3m_tpu.training.trainer import TrainState
     import jax.numpy as jnp
 
@@ -382,13 +385,14 @@ def load_train_snapshot(path: str, state):
     step = int(meta.get("global_step", 0))
     tree = _packify_train_tree(tree, state)
 
-    return TrainState(
+    new_state = TrainState(
         params=restore_like(tree["params"], state.params),
         batch_stats=restore_like(tree["batch_stats"], state.batch_stats),
         opt_state=restore_like(tree["opt_state"], state.opt_state),
         step=jnp.asarray(step, jnp.int32),
         key=jnp.asarray(tree["key"], state.key.dtype),
     )
+    return (new_state, meta) if with_meta else new_state
 
 
 # ---------------------------------------------------------------------------

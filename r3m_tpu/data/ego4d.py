@@ -111,6 +111,22 @@ class Ego4DDataset:
             caption=caption,
         )
 
+    def skip_batches(self, n_batches: int, batch_size: int) -> None:
+        """Fast-forward the RNG as if `n_batches` had already been drawn.
+
+        Reproducible resume: a resumed run replays the draw sequence the
+        interrupted run consumed, so it continues on the exact batch stream
+        an uninterrupted run would have produced (the reference re-seeds
+        its DataLoader workers on restart and silently changes the stream).
+        Consumption mirrors `sample_clip` draw-for-draw — one video-id draw
+        plus the five index draws (whose bounds depend on the drawn video,
+        so the replay must follow the real manifest). Pure host RNG work:
+        ~1M clip draws per second (no paths, no decode).
+        """
+        for _ in range(n_batches * batch_size):
+            vidid = int(self.rng.integers(0, len(self._paths)))
+            self.sample_indices(int(self._lens[vidid]))
+
     def sample_batch(self, batch_size: int) -> Tuple[List[str], List[str]]:
         """Returns (5*B flat frame paths, B captions)."""
         paths: List[str] = []

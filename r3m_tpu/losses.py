@@ -44,10 +44,13 @@ def draw_permutations(key: jax.Array, bs: int, num_neg: int) -> Dict[str, jax.Ar
     (negative-round, {es0, es2}) for TCN (trainer.py:135-137).
     """
     if num_neg == 0:
-        # no cross-video negatives (the within-video negative remains,
-        # matching the reference's num_neg=0 behavior where the negative
-        # lists still hold the within-video entry) — jnp.stack needs at
-        # least one array, so emit the empty shapes directly
+        # No cross-video negatives. For the LANGUAGE loss this matches the
+        # reference (its negative lists still hold the within-video entry,
+        # trainer.py:80-82). For TCN it is an extension: the reference's
+        # TCN branch crashes at num_negatives=0 (torch.stack over an empty
+        # negative list, trainer.py:142-143) — here the empty [B, 0]
+        # negative stack simply drops the cross-video sum-of-exp terms.
+        # jnp.stack needs at least one array, so emit the empty shapes.
         zero = jnp.zeros((0, 3, bs), jnp.int32)
         return {"lang": zero, "tcn": zero[:, :2]}
     k_lang, k_tcn = jax.random.split(key)
@@ -170,7 +173,9 @@ def tcn_loss(
     sim_0_1 = sim(cfg, es1, es0)
 
     # num_negatives=0 => no cross-video negatives: [B, 0] stacks so the
-    # sum-of-exp terms below vanish (jnp.stack itself rejects empty lists)
+    # sum-of-exp terms below vanish. This is an EXTENSION the reference
+    # does not support — its TCN branch raises at num_negatives=0
+    # (torch.stack of an empty list, trainer.py:142-143).
     bs = es0.shape[0]
     empty = jnp.zeros((bs, 0), jnp.float32)
     neg0 = jnp.stack(

@@ -95,12 +95,10 @@ class R3MConfig:
     # to the batched kernel instead — measured +8.2% forward-only at
     # identical cosine (BASELINE.md fast-serving-attention row). True = the
     # per-element 2-D unroll lowering (measured: faster fwd, slower bwd —
-    # net negative for training; kept as the tested variant). Caveat for
-    # the "auto"/"batched" kernel paths: vit_b32_apply sniffs
-    # `jax.default_backend()` at TRACE time to pick interpret mode, so
-    # when AOT-lowering a training step for a NON-default backend (e.g.
-    # targeting TPU from a CPU-default host) pass an explicit False here
-    # instead of "auto" — the sniff would bake the wrong lowering in.
+    # net negative for training; kept as the tested variant). The kernel's
+    # interpret mode resolves from the ACTUAL lowering platform
+    # (`jax.lax.platform_dependent` in vit_b32_apply), so AOT-lowering for
+    # a non-default backend is safe with "auto".
     vit_fused_attn: Any = "auto"
 
     def __post_init__(self):
@@ -195,6 +193,7 @@ def r3m_embed(
     precision=None,
     prenormalized: bool = False,
     fused_attn_interpret: Optional[bool] = None,
+    shard_mesh=None,
 ) -> Tuple[jax.Array, Pytree]:
     """Images -> embeddings (reference `forward`, models_r3m.py:84-100).
 
@@ -204,6 +203,12 @@ def r3m_embed(
     `prenormalized=True` skips the /255 + mean/std preprocess: the caller
     already emitted encoder-input-form frames (the augmentation stage
     folds normalization into its crop weights — `data/augment.py`).
+
+    `shard_mesh`: pass the data-parallel mesh when this call sits inside a
+    batch-sharded jitted step and the ViT fused-attention kernel is active
+    — the kernel is wrapped in `jax.shard_map` over the mesh so it stays
+    per-shard under SPMD (vit_b32_apply docstring). No effect on ResNet or
+    the einsum attention path.
     """
     if prenormalized:
         x = obs
@@ -224,6 +229,7 @@ def r3m_embed(
             compute_dtype=cfg.jnp_compute_dtype,
             fused_attn=cfg.resolved_fused_attn(train),
             fused_attn_interpret=fused_attn_interpret,
+            shard_mesh=shard_mesh,
         )
         return feats, batch_stats
     feats, new_stats = resnet_apply(
@@ -390,13 +396,13 @@ class R3MEncoder:
             # ("auto" at train=False) — the f32/HIGHEST lowering the golden
             # pins were taken with. Explicit vit_fused_attn values pass
             # through in both modes.
-            # Mesh serving keeps "auto" on einsum: pallas_call has no GSPMD
-            # partitioning rule (and this path is not shard_map-wrapped),
-            # so under a sharded batch the kernel would force a gather to
-            # full-batch per layer — einsum partitions cleanly. Explicit
-            # kernel values still pass through for users who shard outside.
+            # Under a serving mesh the kernel survives sharding: pallas_call
+            # has no GSPMD rule, so every kernel lowering (auto-fast or
+            # explicit) is shard_map-wrapped over the mesh's batch axes —
+            # attention is per-sample, so per-shard execution is exact and
+            # collective-free (vit_b32_apply docstring).
             serve_fused = cfg.vit_fused_attn
-            if fast and serve_fused == "auto" and mesh is None:
+            if fast and serve_fused == "auto":
                 serve_fused = "batched"
             self.vit_serving_attn = (
                 cfg.resolved_fused_attn(train=False)
@@ -410,6 +416,7 @@ class R3MEncoder:
                 if fast
                 else cfg
             )
+            attn_mesh = mesh if self.vit_serving_attn else None
 
             @jax.jit
             def _fwd(params, batch_stats, obs_nchw):
@@ -421,6 +428,7 @@ class R3MEncoder:
                     obs,
                     train=False,
                     precision=mm_precision,
+                    shard_mesh=attn_mesh,
                 )
                 return emb.astype(jnp.float32)
 

@@ -102,6 +102,7 @@ def vit_b32_apply(
     compute_dtype=None,
     fused_attn: bool | str = False,
     fused_attn_interpret: bool | None = None,
+    shard_mesh=None,
 ) -> jax.Array:
     """NHWC normalized images -> [B, dim] pooled embedding (HF pooler_output).
 
@@ -115,9 +116,20 @@ def vit_b32_apply(
     `precision` as the einsum path: scores/probs stay in VMEM and the
     backward recomputes them. Same math as the einsum path to bf16/f32
     rounding. `fused_attn_interpret` forces/suppresses the kernel's
-    interpret mode; the None default infers it from the *default* backend,
-    which is wrong only when jitting for a non-default backend — pass it
-    explicitly there.
+    interpret mode; the None default resolves it from the actual lowering
+    platform via `jax.lax.platform_dependent` (TPU compiles the kernel,
+    every other platform interprets), so AOT lowering for a non-default
+    backend is safe without the explicit flag.
+
+    `shard_mesh`: a `jax.sharding.Mesh` when this forward runs inside a
+    batch-sharded (data-parallel) jitted program AND `fused_attn` is on.
+    `pl.pallas_call` carries no GSPMD partitioning rule, so under a plain
+    jit-with-shardings the kernel would force per-layer gathers to the
+    full global batch; wrapping the call in `jax.shard_map` over the mesh
+    axes keeps it per-shard — attention is per-sample, so the math is
+    unchanged and the program's collectives are identical to the einsum
+    path's (pinned by tests/test_train_step.py). Ignored on the einsum
+    path, which GSPMD partitions cleanly by itself.
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -136,27 +148,62 @@ def vit_b32_apply(
     h = jnp.concatenate([cls, tokens], axis=1) + params["pos"].astype(x.dtype)
 
     if fused_attn:
+        import functools
+
         from r3m_tpu.ops.attention import fused_attention
 
-        # trace-time constant: tests force the cpu platform, real runs
-        # compile; the kernel itself is platform-agnostic
-        interpret = fused_attn_interpret
-        if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+        def _attn(q, k, v, interpret):
+            return fused_attention(
+                q, k, v, cfg.n_heads,
+                interpret=interpret,
+                precision=precision,
+                batched=fused_attn == "batched",
+            )
+
+        if fused_attn_interpret is None:
+            # Resolve interpret mode from the ACTUAL lowering platform, not
+            # a trace-time `jax.default_backend()` sniff: platform_dependent
+            # specializes per compilation target, so AOT-lowering this step
+            # for TPU from a CPU-default host (or vice versa) picks the
+            # right kernel mode instead of baking in the wrong one.
+            def attn_call(q, k, v):
+                return jax.lax.platform_dependent(
+                    q, k, v,
+                    tpu=functools.partial(_attn, interpret=False),
+                    default=functools.partial(_attn, interpret=True),
+                )
+        else:
+            attn_call = functools.partial(
+                _attn, interpret=fused_attn_interpret
+            )
+
+        if shard_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            # batch axis sharded over ALL mesh axes (matches
+            # parallel.mesh.batch_sharded); q/k/v are per-sample, so the
+            # kernel runs on each shard independently — no collectives.
+            spec = P(shard_mesh.axis_names)
+            # check_vma=False: pallas_call's out_shape carries no varying-
+            # mesh-axes annotation, so the rep checker can't type it; the
+            # wrap is per-sample by construction (no collectives to check).
+            attn_call = jax.shard_map(
+                attn_call,
+                mesh=shard_mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=spec,
+                check_vma=False,
+            )
 
     head_dim = cfg.dim // cfg.n_heads
     t = h.shape[1]
     for layer in params["layers"]:
         y = _layer_norm(h, layer["ln1"], cfg.layer_norm_eps)
         if fused_attn:
-            ctx = fused_attention(
+            ctx = attn_call(
                 _dense(y, layer["q"], precision),
                 _dense(y, layer["k"], precision),
                 _dense(y, layer["v"], precision),
-                cfg.n_heads,
-                interpret=interpret,
-                precision=precision,
-                batched=fused_attn == "batched",
             )
         else:
             q = _dense(y, layer["q"], precision).reshape(

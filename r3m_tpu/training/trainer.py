@@ -117,13 +117,15 @@ def _encode_and_loss(
     train: bool,
     prenormalized: bool = False,
     bert_cfg=None,
+    shard_mesh=None,
 ):
     """Shared forward: returns (full_loss, (metrics, new_batch_stats))."""
     images = batch["images"]  # [B, 5, H, W, 3]; [0,255] unless prenormalized
     bs = images.shape[0]
     flat = jnp.reshape(images, (bs * 5,) + images.shape[2:])
     emb, new_stats = r3m_embed(
-        cfg, params, batch_stats, flat, train=train, prenormalized=prenormalized
+        cfg, params, batch_stats, flat, train=train,
+        prenormalized=prenormalized, shard_mesh=shard_mesh,
     )
     emb = jnp.reshape(emb, (bs, 5, -1))
 
@@ -146,25 +148,23 @@ def _encode_and_loss(
     return r3m_loss(cfg, params, emb, lang_emb, lang_mask, perms) + (new_stats,)
 
 
-def _resolve_fused_attn_for_mesh(cfg: R3MConfig, mesh) -> R3MConfig:
-    """Keep "auto" on the einsum attention path when the step is sharded.
+def _attn_shard_mesh(cfg: R3MConfig, mesh):
+    """The mesh the ViT fused-attention kernel must be shard_map-wrapped
+    over, or None.
 
-    `pl.pallas_call` carries no GSPMD partitioning rule and this step is
-    jit-with-shardings, not shard_map — under a batch-sharded mesh the
-    kernel custom-call would force per-layer gathers to the full global
-    batch (or fail to partition), negating data parallelism. The kernel's
-    measured win (BASELINE.md round-4) is a SINGLE-CHIP result; einsum
-    partitions cleanly, so "auto" falls back to it on a mesh. Explicit
-    kernel values pass through unchanged for callers who wrap the step in
-    shard_map themselves. Multi-chip hardware is unavailable here, so the
-    sharded-kernel path stays deliberately unclaimed until it can be
-    validated (docs/DESIGN.md).
+    `pl.pallas_call` carries no GSPMD partitioning rule: under a plain
+    jit-with-shardings the kernel custom-call would force per-layer
+    gathers to the full global batch. The standard JAX answer for a
+    per-sample kernel is `jax.shard_map` over the data axes — attention
+    never crosses samples, so per-shard execution is exact and adds zero
+    collectives (vit_b32_apply wraps the call; numerics + collective
+    parity vs the einsum path are pinned on the 8-device virtual mesh by
+    tests/test_train_step.py). Only relevant when the resolved lowering is
+    actually the kernel; the einsum path partitions cleanly unwrapped.
     """
-    import dataclasses
-
-    if mesh is not None and cfg.size == 0 and cfg.vit_fused_attn == "auto":
-        return dataclasses.replace(cfg, vit_fused_attn=False)
-    return cfg
+    if mesh is not None and cfg.size == 0:
+        return mesh
+    return None
 
 
 def place_bert_params(bert_params: Pytree, mesh) -> Pytree:
@@ -242,7 +242,7 @@ def make_train_step(
             f"doaug must be one of 'none'|'rc'|'rctraj', got {doaug!r}"
             " — an unknown value would silently train without augmentation"
         )
-    cfg = _resolve_fused_attn_for_mesh(cfg, mesh)
+    attn_mesh = _attn_shard_mesh(cfg, mesh)
     bert_params = _check_bert(cfg, bert_params, mesh)
     tx = make_optimizer(cfg)
 
@@ -294,7 +294,7 @@ def make_train_step(
                 def loss_fn(params):
                     loss, metrics, new_stats = _encode_and_loss(
                         cfg, params, stats, bert, mb, perms, True, prenorm,
-                        bert_cfg,
+                        bert_cfg, shard_mesh=attn_mesh,
                     )
                     return loss, (metrics, new_stats)
 
@@ -318,7 +318,7 @@ def make_train_step(
             def loss_fn(params):
                 loss, metrics, new_stats = _encode_and_loss(
                     cfg, params, state.batch_stats, bert, batch, perms, True,
-                    prenorm, bert_cfg,
+                    prenorm, bert_cfg, shard_mesh=attn_mesh,
                 )
                 return loss, (metrics, new_stats)
 
@@ -378,7 +378,7 @@ def make_eval_step(
     Matches the reference's `update(eval=True)` under torch.no_grad
     (train_representation.py:114-117): model.eval() + skip the step.
     """
-    cfg = _resolve_fused_attn_for_mesh(cfg, mesh)
+    attn_mesh = _attn_shard_mesh(cfg, mesh)
     bert_params = _check_bert(cfg, bert_params, mesh)
 
     def eval_fn(
@@ -391,7 +391,7 @@ def make_eval_step(
         perms = draw_permutations(key, bs, cfg.num_negatives)
         loss, metrics, _ = _encode_and_loss(
             cfg, state.params, state.batch_stats, bert, batch, perms, False,
-            bert_cfg=bert_cfg,
+            bert_cfg=bert_cfg, shard_mesh=attn_mesh,
         )
         return metrics
 

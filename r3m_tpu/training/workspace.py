@@ -170,16 +170,13 @@ class Workspace:
                     print(f"[data] native pipeline unavailable ({e})")
             return FrameBatcher(ds, local_bs, n_threads=n_threads)
 
-        self.train_pipe = DataPipeline(
-            make_batcher(train_ds),
-            tokenizer=self.tokenizer,
-            lang_max_len=int(cfg.get("lang_max_len", 32)),
-        )
-        self.val_pipe = DataPipeline(
-            make_batcher(val_ds),
-            tokenizer=self.tokenizer,
-            lang_max_len=int(cfg.get("lang_max_len", 32)),
-        )
+        # Pipelines are built AFTER the resume block below: their producer
+        # threads start drawing from the dataset RNGs immediately, and a
+        # resumed run must fast-forward those RNGs first (reproducible
+        # resume) — building them here would race the replay.
+        self._train_ds, self._val_ds = train_ds, val_ds
+        self._make_batcher = make_batcher
+        self._local_bs, self._n_proc = local_bs, n_proc
 
         # ---- mesh + steps ---------------------------------------------------
         n_dev = cfg.get("n_devices") or len(jax.devices())
@@ -215,6 +212,7 @@ class Workspace:
         # ---- resume ---------------------------------------------------------
         # (the snapshot loaders only use self.state as a host-side
         # shape/dtype template, so mesh replication waits until after)
+        resume_meta: Dict = {}
         if cfg.get("load_snap"):
             print("LOADING", cfg["load_snap"])
             if str(cfg["load_snap"]).endswith(".pt"):
@@ -222,11 +220,61 @@ class Workspace:
                     cfg["load_snap"], self.state
                 )
             else:
-                self.state = load_train_snapshot(cfg["load_snap"], self.state)
+                self.state, resume_meta = load_train_snapshot(
+                    cfg["load_snap"], self.state, with_meta=True
+                )
         else:
-            self.state = self._auto_resume(self.state)
+            self.state, resume_meta = self._auto_resume(self.state)
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
+
+        # ---- data stream resume + pipelines ---------------------------------
+        # Fast-forward the host dataset RNGs to where the interrupted run's
+        # stream stood, so preempt+resume replays the exact sample sequence
+        # of an uninterrupted run (the reference re-seeds its workers on
+        # requeue and silently changes the stream). Counters are stored per
+        # LOCAL stream: they only transfer across runs with the same host
+        # count and per-host batch size — otherwise the stream restarts
+        # from seed (printed, not silent).
+        loaded_step = int(np.asarray(self.state.step))
+        self._step0 = loaded_step
+        self._train_stream_pos0 = 0  # batches already drawn from train_ds's RNG
+        self._val_batches = 0  # val-stream position (batches drawn)
+        ds_meta = (resume_meta or {}).get("data_stream") or {}
+        if loaded_step > 0 and bool(cfg.get("resume_data_stream", True)):
+            if (
+                ds_meta.get("local_batch_size") == local_bs
+                and ds_meta.get("num_hosts") == n_proc
+            ):
+                t_n = int(ds_meta.get("train_batches", 0))
+                v_n = int(ds_meta.get("val_batches", 0))
+                train_ds.skip_batches(t_n, local_bs)
+                val_ds.skip_batches(v_n, local_bs)
+                self._train_stream_pos0 = t_n
+                self._val_batches = v_n
+                print(
+                    f"[resume] data stream fast-forwarded: train {t_n} / "
+                    f"val {v_n} batches (bit-reproducible continuation)"
+                )
+            elif ds_meta:
+                print(
+                    "[resume] snapshot data-stream counters were taken at "
+                    f"{ds_meta.get('num_hosts')} hosts x local batch "
+                    f"{ds_meta.get('local_batch_size')} (this run: {n_proc} x "
+                    f"{local_bs}) — stream restarts from seed"
+                )
+            else:
+                print(
+                    "[resume] snapshot has no data-stream counters; "
+                    "stream restarts from seed"
+                )
+        lml = int(cfg.get("lang_max_len", 32))
+        self.train_pipe = DataPipeline(
+            make_batcher(train_ds), tokenizer=self.tokenizer, lang_max_len=lml
+        )
+        self.val_pipe = DataPipeline(
+            make_batcher(val_ds), tokenizer=self.tokenizer, lang_max_len=lml
+        )
         self._host_step = None  # lazily synced from device, then host-tracked
         # snapshot writes overlap training (sync device->host copy only);
         # async_snapshot=false restores fully blocking saves
@@ -242,6 +290,7 @@ class Workspace:
         """Resume from the rolling snapshot; on a corrupt/truncated file
         (host killed mid-eval before the atomic rename, disk hiccup) fall
         back to the newest per-step snapshot instead of crashing.
+        Returns ``(state, meta)`` — meta is {} on a fresh start.
         """
         candidates = []
         rolling = os.path.join(self.work_dir, "snapshot.npz")
@@ -251,10 +300,10 @@ class Workspace:
         for path in candidates:
             try:
                 print(f"resuming: {path}")
-                return load_train_snapshot(path, state)
+                return load_train_snapshot(path, state, with_meta=True)
             except Exception as e:
                 print(f"[resume] {path} unusable ({type(e).__name__}: {e})")
-        return state
+        return state, {}
 
     def request_stop(self):
         """Ask the training loop to stop after the current step.
@@ -380,16 +429,26 @@ class Workspace:
                 self._flush_train_metrics(pending, win_t0)
                 pending = []
                 win_t0 = time.time()
-                eval_batch = self._place(next(self.val_pipe))
-                ekey = jax.random.fold_in(jax.random.PRNGKey(0), step)
-                if self.mesh is not None:
-                    ekey = jax.device_put(
-                        ekey, jax.sharding.NamedSharding(
-                            self.mesh, jax.sharding.PartitionSpec()))
-                emetrics = self.eval_step(self.state, eval_batch, ekey)
-                emetrics = {
-                    k: float(v) for k, v in jax.device_get(emetrics).items()
-                }
+                # eval_batches=N averages N val batches per eval event —
+                # the reference scores a single batch per event
+                # (train_representation.py:114-117), which at eval_freq=2e4
+                # is a noisy signal; default stays 1 for parity.
+                n_eval = max(1, int(cfg.get("eval_batches", 1) or 1))
+                base_key = jax.random.fold_in(jax.random.PRNGKey(0), step)
+                acc: Dict[str, float] = {}
+                for i in range(n_eval):
+                    eval_batch = self._place(next(self.val_pipe))
+                    self._val_batches += 1
+                    # i=0 reproduces the pre-knob key exactly
+                    ekey = base_key if i == 0 else jax.random.fold_in(base_key, i)
+                    if self.mesh is not None:
+                        ekey = jax.device_put(
+                            ekey, jax.sharding.NamedSharding(
+                                self.mesh, jax.sharding.PartitionSpec()))
+                    em = self.eval_step(self.state, eval_batch, ekey)
+                    for k, v in jax.device_get(em).items():
+                        acc[k] = acc.get(k, 0.0) + float(v)
+                emetrics = {k: v / n_eval for k, v in acc.items()}
                 self.logger.log_metrics(emetrics, step, ty="eval")
                 self.logger.dump(step, ty="eval")
                 print("EVAL", step, emetrics)
@@ -441,7 +500,20 @@ class Workspace:
         reading the file back.
         """
         keep = int(self.cfg.get("keep_snapshots", 0))
-        extra = {"lang_max_len": int(self.cfg.get("lang_max_len", 32))}
+        extra = {
+            "lang_max_len": int(self.cfg.get("lang_max_len", 32)),
+            # host data-stream positions for reproducible resume: batches
+            # drawn from each dataset RNG *as consumed by the loop* (the
+            # prefetch queues run ahead of this; their lookahead draws are
+            # re-derived by replay on resume)
+            "data_stream": {
+                "train_batches": self._train_stream_pos0
+                + (self.global_step - self._step0),
+                "val_batches": self._val_batches,
+                "local_batch_size": self._local_bs,
+                "num_hosts": self._n_proc,
+            },
+        }
         if self._snap_writer is None:
             path = save_train_snapshot(
                 self.work_dir, self.state, self.model_cfg, extra_meta=extra

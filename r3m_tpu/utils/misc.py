@@ -67,13 +67,14 @@ class Every:
         self._action_repeat = action_repeat
 
     def __call__(self, step: int) -> bool:
-        if self._every is None:
+        if self._every is None or int(self._every) <= 0:
+            # eval_freq=None/0 is the documented off-switch (the reference
+            # would ZeroDivisionError at 0)
             return False
-        every = int(self._every) // self._action_repeat
-        if every <= 0:
-            # eval_freq=0 (or < action_repeat) means "never" — the usable
-            # off-switch; the modulo below would raise ZeroDivisionError
-            return False
+        # A positive `every` below action_repeat must NOT silently mean
+        # "never" (a user asking for frequent eval would get none) — clamp
+        # to every step instead.
+        every = max(1, int(self._every) // self._action_repeat)
         return step % every == 0
 
 

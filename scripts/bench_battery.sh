@@ -73,6 +73,16 @@ BENCH_EVAL=1 BENCH_SIZE=0 BENCH_PRECISION=fast BENCH_VIT_FUSED=0 BENCH_STEPS=20 
 echo "=== stage 6: v5p projection (per-op arithmetic from a fresh trace) $(date) ==="
 timeout 1800 $PY scripts/project_v5p.py
 
+echo "=== stage 7: perf-regression gate $(date) ==="
+# Compares every gated metric this log produced against the committed
+# constants in scripts/perf_baseline.json (12% tolerance over the recorded
+# +-7% run variance). A red gate means the battery MEASURED a regression —
+# accepting a slower baseline must be an explicit diff to that file.
+if ! $PY scripts/perf_gate.py "$LOG"; then
+  echo "FATAL: perf-regression gate failed (see [perf-gate] lines above)"
+  exit 1
+fi
+
 echo "=== battery done $(date) ==="
 echo "(CPU-mesh artifacts — collective budget + weak scaling — are separate:"
 echo "   python scripts/audit_collectives.py   # needs no TPU, heavy CPU)"

@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Pretrain -> probe-delta artifact: does R3M training help downstream?
+
+The reference's entire point is a reusable representation evaluated
+downstream (``/root/reference/README.md:36-38`` — the out-of-repo BC eval
+branch; paper §4). This script is the one-command in-repo version of that
+evidence (VERDICT round-4 item 1): pretrain the README config on the
+synthetic reach world (``r3m_tpu.evalsuite.fixtures``), then score THREE
+encoders on a held-out probe set —
+
+  random   : fresh random init (a different seed),
+  step0    : the training run's step-0 snapshot (controls for init/seed),
+  trained  : the final snapshot,
+
+with (a) the BC probe (frozen embeddings -> reach action, split by video)
+and (b) closed-form linear probes on the world's ground-truth latents
+(block position, goal position, progress). *Done* = trained ≫ random/step0
+on the probe metrics; results go to ``$RUN/PROBE_DELTA.json`` and a
+BASELINE.md table.
+
+Usage:
+  python scripts/probe_delta.py --run /tmp/r3m_probe_r5 --steps 2000
+  python scripts/probe_delta.py --run ... --skip-train   # probe-only rerun
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ensure_fixture(run: str, args) -> None:
+    from r3m_tpu.evalsuite.fixtures import write_probe_dataset
+
+    data = os.path.join(run, "data")
+    if not os.path.exists(os.path.join(data, "manifest.csv")):
+        print(f"[probe] rendering pretraining split -> {data}")
+        write_probe_dataset(
+            data, n_videos=args.videos, n_frames=args.frames,
+            size=args.image_size, seed=3,
+        )
+    bert = os.path.join(run, "bert.npz")
+    if not os.path.exists(bert):
+        # random-init frozen DistilBERT: the published weights need egress
+        # (prepare_language.py); a random frozen encoder still maps the 8
+        # direction captions to distinct fixed embeddings, which is all the
+        # language-reward alignment loss needs on this fixture.
+        import jax
+
+        from r3m_tpu.checkpoint import save_snapshot
+        from r3m_tpu.models.distilbert import distilbert_init
+
+        save_snapshot(bert, distilbert_init(jax.random.PRNGKey(9)))
+
+
+def _train(run: str, args) -> None:
+    from r3m_tpu.training.workspace import Workspace
+    from r3m_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(
+            os.path.dirname(__file__), "..", "cfgs", "config_rep.yaml"
+        ),
+        overrides=[
+            f"datapath={os.path.join(run, 'data')}",
+            f"log_dir={run}",
+            f"batch_size={args.bs}",
+            f"train_steps={args.steps}",
+            f"eval_freq={max(100, args.steps // 4)}",
+            "eval_batches=2",
+            "keep_snapshots=2",
+            f"num_workers={args.workers}",
+            # the README train command's hyperparameters (README.md:32)
+            f"agent.size={args.size}",
+            "agent.langweight=1.0",
+            "agent.l1weight=1e-5",
+            "lr=1e-4",
+            "doaug=rctraj",
+            f"bert_weights={os.path.join(run, 'bert.npz')}",
+            f"vocab_path={os.path.join(run, 'data', 'vocab.txt')}",
+        ]
+        + (
+            # CPU smoke runs shrink the world; the chip artifact stays 224
+            [f"+agent.image_size={args.image_size}"]
+            if args.image_size != 224
+            else []
+        ),
+    )
+    ws = Workspace(cfg, work_dir=run)
+    try:
+        if ws.global_step == 0:
+            # step-0 control snapshot (same init/seed as the run), kept
+            # under a name the retention pruner ignores
+            ws.save_snapshot()
+            ws.flush_snapshots()
+            shutil.copyfile(
+                os.path.join(run, "snapshot_0.npz"),
+                os.path.join(run, "init_snapshot.npz"),
+            )
+        ws.train()
+        print(f"[probe] trained to step {ws.global_step}")
+    finally:
+        ws.close()
+
+
+def _embed(enc, images: np.ndarray, chunk: int = 120) -> np.ndarray:
+    from r3m_tpu.utils.misc import pad_batch
+
+    outs = []
+    for i in range(0, images.shape[0], chunk):
+        x = images[i : i + chunk]
+        m = x.shape[0]
+        outs.append(np.asarray(enc(pad_batch(x, chunk)))[:m])
+    return np.concatenate(outs)
+
+
+def _probe_encoder(name: str, enc, probe, seed: int = 0) -> dict:
+    import jax.numpy as jnp
+
+    from r3m_tpu.evalsuite.bc import bc_probe
+    from r3m_tpu.evalsuite.fixtures import linear_probe
+
+    emb = _embed(enc, probe["images"])
+    video = probe["video"]
+    ids = np.unique(video)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(ids)
+    val_ids = ids[: max(1, len(ids) // 4)]
+    val_mask = np.isin(video, val_ids)
+
+    # BC probe on train videos; evaluated on HELD-OUT videos (frame-level
+    # splits leak: adjacent frames are near-duplicates)
+    res = bc_probe(
+        embed_fn=lambda x: x,  # embeddings precomputed above
+        images=emb[~val_mask],
+        actions=probe["actions"][~val_mask],
+        steps=400,
+        val_frac=0.1,
+        seed=seed,
+    )
+    pred = np.asarray(
+        res["policy_apply"](res["policy_params"], jnp.asarray(emb[val_mask]))
+    )
+    bc_mse = float(np.mean((pred - probe["actions"][val_mask]) ** 2))
+    # direction accuracy: does the policy at least point the right way?
+    dots = np.sum(pred * probe["actions"][val_mask], axis=-1)
+    bc_dir_acc = float(np.mean(dots > 0))
+
+    out = {
+        "encoder": name,
+        "bc_val_mse": bc_mse,
+        "bc_dir_acc": bc_dir_acc,
+        "block_pos_r2": linear_probe(
+            emb, probe["latents"][:, :2], groups=video, seed=seed
+        )["r2_mean"],
+        "goal_pos_r2": linear_probe(
+            emb, probe["latents"][:, 2:4], groups=video, seed=seed
+        )["r2_mean"],
+        "progress_r2": linear_probe(
+            emb, probe["progress"], groups=video, seed=seed
+        )["r2_mean"],
+    }
+    print("[probe]", json.dumps(out))
+    return out
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run", default="/tmp/r3m_probe_r5")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--bs", type=int, default=16)
+    p.add_argument("--size", type=int, default=50)
+    p.add_argument("--videos", type=int, default=64)
+    p.add_argument("--frames", type=int, default=40)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--probe-videos", type=int, default=24)
+    p.add_argument("--probe-frames", type=int, default=30)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--skip-train", action="store_true")
+    args = p.parse_args()
+
+    from r3m_tpu.utils.misc import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # JAX_PLATFORMS=cpu smoke runs really run on cpu
+
+    import jax
+
+    from r3m_tpu import load_r3m_from_snapshot
+    from r3m_tpu.evalsuite.fixtures import render_probe_set
+    from r3m_tpu.models.r3m import R3MEncoder, r3m_init
+
+    run = args.run
+    os.makedirs(run, exist_ok=True)
+    _ensure_fixture(run, args)
+    if not args.skip_train:
+        _train(run, args)
+
+    print("[probe] rendering held-out probe set")
+    probe = render_probe_set(
+        n_videos=args.probe_videos, n_frames=args.probe_frames,
+        size=args.image_size,
+        seed=10_000,  # disjoint from the training split's seed
+    )
+
+    trained = load_r3m_from_snapshot(os.path.join(run, "snapshot.npz"))
+    step0 = load_r3m_from_snapshot(os.path.join(run, "init_snapshot.npz"))
+    rnd = R3MEncoder(
+        trained.cfg,
+        *(lambda s: (s["params"], s["batch_stats"]))(
+            r3m_init(jax.random.PRNGKey(4242), trained.cfg)
+        ),
+    )
+
+    rows = [
+        _probe_encoder("random_init", rnd, probe),
+        _probe_encoder("step0_snapshot", step0, probe),
+        _probe_encoder("trained", trained, probe),
+    ]
+    result = {
+        "steps": args.steps,
+        "size": args.size,
+        "probe_frames": int(probe["images"].shape[0]),
+        "rows": rows,
+    }
+    out_path = os.path.join(run, "PROBE_DELTA.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"[probe] wrote {out_path}")
+
+    # markdown table for BASELINE.md
+    print("\n| encoder | BC val MSE (held-out videos) | BC dir acc | "
+          "block-pos R2 | goal-pos R2 | progress R2 |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['encoder']} | {r['bc_val_mse']:.4f} | "
+            f"{r['bc_dir_acc']:.3f} | {r['block_pos_r2']:.3f} | "
+            f"{r['goal_pos_r2']:.3f} | {r['progress_r2']:.3f} |"
+        )
+
+    tr = rows[2]
+    base = min(rows[0]["bc_val_mse"], rows[1]["bc_val_mse"])
+    print(
+        json.dumps(
+            {
+                "metric": "probe_delta_bc_mse_ratio_trained_vs_random",
+                "value": round(tr["bc_val_mse"] / max(base, 1e-9), 4),
+                "unit": "ratio (<1 = trained better)",
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

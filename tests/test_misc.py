@@ -23,7 +23,9 @@ def test_until_every():
     assert not Every(None)(0)
     # eval_freq=0 is the usable off-switch: never fires, never divides by 0
     assert not any(Every(0)(s) for s in range(5))
-    assert not Every(2, action_repeat=4)(0)  # every < action_repeat: never
+    # positive every below action_repeat clamps to "every step" — a user
+    # asking for FREQUENT eval must not silently get none (ADVICE round 4)
+    assert all(Every(2, action_repeat=4)(s) for s in range(5))
 
 
 def test_schedule_parser():

@@ -116,14 +116,13 @@ def test_fast_vit_auto_resolves_to_batched_kernel():
     assert renc.vit_serving_attn is None
 
 
-def test_fast_vit_auto_stays_einsum_on_mesh(rng):
-    """Under a multi-chip mesh, fast "auto" keeps the einsum path.
+def test_fast_vit_kernel_survives_mesh(rng):
+    """Under a multi-chip mesh, fast "auto" KEEPS the fused kernel.
 
-    pallas_call has no GSPMD partitioning rule and the serving forward is
-    jit-with-shardings (not shard_map), so the kernel would force
-    per-layer full-batch gathers on a sharded batch. The einsum path
-    partitions cleanly; explicit kernel values still pass through for
-    callers who shard outside.
+    pallas_call has no GSPMD partitioning rule, so the serving forward
+    wraps the kernel in `jax.shard_map` over the mesh's batch axes —
+    attention is per-sample, so per-shard execution is exact. The fast
+    mesh embeddings must match the single-device fast path to rounding.
     """
     from r3m_tpu.parallel.mesh import make_mesh
 
@@ -134,20 +133,21 @@ def test_fast_vit_auto_stays_einsum_on_mesh(rng):
         cfg, state["params"], state["batch_stats"], mesh=mesh,
         precision="fast",
     )
-    assert enc.vit_serving_attn is False
+    assert enc.vit_serving_attn == "batched"  # round-5: no einsum fallback
     images = rng.integers(0, 256, size=(8, 3, 64, 64)).astype(np.float32)
     out = np.asarray(enc(images))
     assert out.shape == (8, 768) and np.all(np.isfinite(out))
-    # and the train/eval builders apply the same mesh resolution
-    from r3m_tpu.training.trainer import _resolve_fused_attn_for_mesh
-
-    assert _resolve_fused_attn_for_mesh(cfg, mesh).vit_fused_attn is False
-    assert _resolve_fused_attn_for_mesh(cfg, None).vit_fused_attn == "auto"
-    explicit = dataclasses.replace(cfg, vit_fused_attn="batched")
-    assert (
-        _resolve_fused_attn_for_mesh(explicit, mesh).vit_fused_attn
-        == "batched"
+    single = R3MEncoder(
+        cfg, state["params"], state["batch_stats"], precision="fast"
     )
+    np.testing.assert_allclose(out, np.asarray(single(images)), atol=2e-2)
+    # the train/eval builders wrap the kernel over the same mesh
+    from r3m_tpu.training.trainer import _attn_shard_mesh
+
+    assert _attn_shard_mesh(cfg, mesh) is mesh
+    assert _attn_shard_mesh(cfg, None) is None
+    rcfg = R3MConfig(size=18, image_size=64)
+    assert _attn_shard_mesh(rcfg, mesh) is None  # ResNet: no attention
 
 
 def test_invalid_precision_rejected():

@@ -508,3 +508,51 @@ def test_collective_report_parses_variadic_tuples():
     assert r["bytes"]["all-reduce"] == 512 * 4 + 64 * 2
     # collective-permute-start: output + two u32 context scalars
     assert r["bytes"]["collective-permute"] == 64 * 4 + 8
+
+
+@pytest.mark.slow
+def test_vit_fused_kernel_survives_mesh(bert_params):
+    """Round-5 (VERDICT item 2): "auto" keeps the ViT fused-attention
+    kernel under the dp mesh instead of silently reverting to einsum.
+
+    vit_b32_apply shard_map-wraps the pallas call over the mesh's batch
+    axes — attention is per-sample, so (a) the numerics must match the
+    einsum path and (b) the compiled program's collective traffic must be
+    identical (the wrap adds zero collectives). Reference capability being
+    scaled: the ViT backbone, models_r3m.py:52-56, under DataParallel
+    semantics (train_representation.py:29-31).
+    """
+    import dataclasses
+
+    from r3m_tpu.parallel.mesh import collective_cost_report
+
+    mesh = make_mesh()
+    vit_auto = dataclasses.replace(CFG, size=0)  # "auto" -> batched kernel
+    vit_einsum = dataclasses.replace(CFG, size=0, vit_fused_attn=False)
+    rng = np.random.default_rng(5)
+    batch = shard_batch(mesh, _fake_batch(rng, bs=16))
+
+    reports = {}
+    losses = {}
+    for name, cfg in (("kernel", vit_auto), ("einsum", vit_einsum)):
+        state = replicate(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
+        step = make_train_step(
+            cfg, bert_params=bert_params, mesh=mesh, donate=False
+        )
+        lowered = step.lower(state, batch)
+        reports[name] = collective_cost_report(lowered.compile().as_text())
+        _, metrics = step(state, batch)
+        losses[name] = float(metrics["full_loss"])
+        # shard_map lowers to a Shardy manual-computation region in the
+        # STABLEHLO (the optimized CPU HLO inlines it away; interpret mode
+        # emits no tpu_custom_call — the -m tpu tier covers Mosaic). The
+        # einsum program must NOT contain one.
+        has_manual = "sdy.manual_computation" in lowered.as_text()
+        assert has_manual == (name == "kernel"), (name, has_manual)
+
+    # (a) per-sample math: identical loss up to f32 reassociation
+    np.testing.assert_allclose(losses["kernel"], losses["einsum"], rtol=2e-4)
+    # (b) zero added collectives: byte-for-byte identical traffic
+    assert reports["kernel"]["bytes"] == reports["einsum"]["bytes"], (
+        reports["kernel"], reports["einsum"],
+    )

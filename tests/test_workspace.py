@@ -546,3 +546,80 @@ def test_non_lead_process_writes_nothing(dataset_root, tmp_path, monkeypatch):
         ws.close()
     leftovers = [p for p in os.listdir(work)]
     assert leftovers == [], f"non-lead process wrote: {leftovers}"
+
+
+def test_skip_batches_replays_exact_stream(dataset_root):
+    """Ego4DDataset.skip_batches(n) must leave the RNG exactly where
+    drawing n batches would have (reproducible resume, VERDICT r4 item 4)."""
+    from r3m_tpu.data.ego4d import Ego4DDataset
+
+    bs = 4
+    ref = Ego4DDataset(dataset_root, alpha=0.2, seed=11)
+    stream = [ref.sample_batch(bs) for _ in range(10)]
+
+    resumed = Ego4DDataset(dataset_root, alpha=0.2, seed=11)
+    resumed.skip_batches(6, bs)
+    for k in range(6, 10):
+        assert resumed.sample_batch(bs) == stream[k], f"batch {k} diverged"
+
+
+def test_reproducible_resume_matches_uninterrupted_run(dataset_root, tmp_path):
+    """Train 3 steps -> snapshot -> resume -> train to 6 must produce the
+    SAME final parameters as an uninterrupted 6-step run: the resumed
+    workspace fast-forwards the host dataset RNGs, so the sample stream is
+    identical (the reference silently changes the stream on requeue)."""
+    import jax
+    import numpy as np
+
+    from r3m_tpu.training.workspace import Workspace
+
+    def run(work, train_steps):
+        cfg = _base_cfg(dataset_root, tmp_path)
+        cfg["train_steps"] = train_steps
+        ws = Workspace(cfg, work_dir=str(work))
+        try:
+            ws.train()
+            state = jax.device_get(ws.state)
+        finally:
+            ws.close()
+        return ws, state
+
+    interrupted = tmp_path / "interrupted"
+    interrupted.mkdir()
+    _, _ = run(interrupted, 3)  # phase A: stops at 3, snapshot.npz written
+    ws_b, state_b = run(interrupted, 6)  # phase B: auto-resume 3 -> 6
+    assert int(np.asarray(state_b.step)) == 6
+    assert ws_b._train_stream_pos0 == 3  # the fast-forward actually applied
+
+    straight = tmp_path / "straight"
+    straight.mkdir()
+    _, state_c = run(straight, 6)
+
+    for a, c in zip(
+        jax.tree_util.tree_leaves(state_b.params),
+        jax.tree_util.tree_leaves(state_c.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(
+        jax.tree_util.tree_leaves(state_b.batch_stats),
+        jax.tree_util.tree_leaves(state_c.batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_eval_batches_knob(dataset_root, tmp_path):
+    """eval_batches=N draws N val batches per eval event and averages the
+    metrics (VERDICT r4 item 7); N=1 stays the reference single-batch law."""
+    from r3m_tpu.training.workspace import Workspace
+
+    work = tmp_path / "evalN"
+    work.mkdir()
+    cfg = _base_cfg(dataset_root, tmp_path)
+    cfg["eval_batches"] = 3
+    ws = Workspace(cfg, work_dir=str(work))
+    try:
+        ws.train()  # 3 steps, eval events at steps 1 and 3
+        assert ws._val_batches == 2 * 3  # 2 events x 3 batches
+    finally:
+        ws.close()
+    assert os.path.exists(work / "eval.csv")
