@@ -234,7 +234,12 @@ def linear_probe(
     )
     pred = x_val @ w + ymu
     mse = np.mean((pred - y_val) ** 2, axis=0)
-    var = np.var(y_val, axis=0) + 1e-12
+    # Baseline = the train-mean predictor, NOT Var(y_val): targets like the
+    # goal position are constant within a video, so a small video-held-out
+    # val split can have ~zero internal variance, and 1 - mse/Var(y_val)
+    # explodes to -1e11 (observed). Skill-vs-train-mean is the stable,
+    # standard definition for grouped held-out R².
+    var = np.mean((y_val - ymu) ** 2, axis=0) + 1e-12
     r2 = 1.0 - mse / var
     return {
         "r2_mean": float(np.mean(r2)),

@@ -29,10 +29,32 @@ import jax  # noqa: E402
 if not _ON_CHIP:
     jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: repeat test sessions skip recompiling the big
-# mesh/train-step programs (the bulk of suite wall time)
+# mesh/train-step programs (the bulk of suite wall time). The dir is keyed
+# by a host-CPU fingerprint: XLA:CPU AOT results compiled on one machine
+# load on another with mismatched ISA features ("machine features don't
+# match" — a SIGILL/numeric-drift hazard observed as a real test failure
+# when this repo's cache moved between hosts), and the cache key does not
+# include the target machine, so we must.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+
+def _host_fingerprint() -> str:
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feats += " " + platform.processor()
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/r3m_tpu_xla_tests"),
+    os.path.expanduser(f"~/.cache/r3m_tpu_xla_tests-{_host_fingerprint()}"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

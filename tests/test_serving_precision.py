@@ -140,7 +140,16 @@ def test_fast_vit_kernel_survives_mesh(rng):
     single = R3MEncoder(
         cfg, state["params"], state["batch_stats"], precision="fast"
     )
-    np.testing.assert_allclose(out, np.asarray(single(images)), atol=2e-2)
+    ref = np.asarray(single(images))
+    # bf16 accumulation order differs between the batch-8 single-device
+    # program and the batch-1-per-shard mesh program (measured: max abs
+    # diff 0.031 on norm-12 embeddings, per-sample cosine 0.9999) — pin
+    # with the same cosine form the fast-vs-parity lever uses.
+    cos = (out * ref).sum(1) / (
+        np.linalg.norm(out, axis=1) * np.linalg.norm(ref, axis=1)
+    )
+    assert cos.min() >= 0.999, cos.min()
+    np.testing.assert_allclose(out, ref, atol=6e-2)
     # the train/eval builders wrap the kernel over the same mesh
     from r3m_tpu.training.trainer import _attn_shard_mesh
 
