@@ -12,11 +12,16 @@ encoders on a held-out probe set —
   step0    : the training run's step-0 snapshot (controls for init/seed),
   trained  : the final snapshot,
 
-with (a) the BC probe (frozen embeddings -> reach action, split by video)
-and (b) closed-form linear probes on the world's ground-truth latents
-(block position, goal position, progress). *Done* = trained ≫ random/step0
-on the probe metrics; results go to ``$RUN/PROBE_DELTA.json`` and a
-BASELINE.md table.
+with (a) a ZERO-SHOT reward-ordering metric (is −L2 similarity to the goal
+frame monotone in time on held-out videos — the model's own `sim`/reward
+semantics, no probe head fitted), (b) the BC probe (frozen standardized
+embeddings -> reach action, split by video), and (c) closed-form linear
+probes on the world's ground-truth latents (block position, goal position,
+progress).  Every fitted metric is reported mean±std over 3 video-holdout
+splits, and the random baseline averages 3 independent inits — single-seed
+luck cannot masquerade as signal.  *Done* = trained ≫ random/step0 on the
+probe metrics; results go to ``$RUN/PROBE_DELTA.json`` and a BASELINE.md
+table.
 
 Usage:
   python scripts/probe_delta.py --run /tmp/r3m_probe_r5 --steps 2000
@@ -122,13 +127,35 @@ def _embed(enc, images: np.ndarray, chunk: int = 120) -> np.ndarray:
     return np.concatenate(outs)
 
 
-def _probe_encoder(name: str, enc, probe, seed: int = 0) -> dict:
+def _reward_order_acc(emb: np.ndarray, video: np.ndarray) -> float:
+    """Zero-shot temporal-ordering accuracy: sim(e_t, e_goal) monotone in t?
+
+    This is the model's actual downstream reward semantics (−L2 `sim`,
+    models_r3m.py:102-107 / r3m_tpu.models.r3m.sim with l2dist=true — the
+    trained config): within a held-out video, does similarity to the final
+    (goal) frame increase with time?  Reported as the fraction of ordered
+    frame pairs (t1 < t2, both < T−1) whose goal-similarity is correctly
+    ordered.  No probe head is fitted, so the number has zero fitting
+    variance — it is the purest "did TCN training shape the metric space"
+    signal, and the in-space analogue of using `get_reward` as an RL
+    reward (paper §4.3).
+    """
+    accs = []
+    for v in np.unique(video):
+        e = np.asarray(emb[video == v], np.float64)
+        d = -np.linalg.norm(e[:-1] - e[-1], axis=1)  # sim(e_t, e_T)
+        ii, jj = np.triu_indices(d.shape[0], k=1)
+        accs.append(np.mean(d[jj] > d[ii]))
+    return float(np.mean(accs))
+
+
+def _metrics_for_split(emb: np.ndarray, probe: dict, seed: int) -> dict:
+    """One video-held-out split: standardized BC probe + linear probes."""
     import jax.numpy as jnp
 
     from r3m_tpu.evalsuite.bc import bc_probe
     from r3m_tpu.evalsuite.fixtures import linear_probe
 
-    emb = _embed(enc, probe["images"])
     video = probe["video"]
     ids = np.unique(video)
     rng = np.random.default_rng(seed)
@@ -136,26 +163,38 @@ def _probe_encoder(name: str, enc, probe, seed: int = 0) -> dict:
     val_ids = ids[: max(1, len(ids) // 4)]
     val_mask = np.isin(video, val_ids)
 
-    # BC probe on train videos; evaluated on HELD-OUT videos (frame-level
-    # splits leak: adjacent frames are near-duplicates)
+    # Center + SCALAR-scale embeddings on TRAIN-split statistics before the
+    # BC head: encoders differ wildly in feature scale (the L1 penalty vs a
+    # fresh init), and a fixed-lr Adam MLP is not scale-invariant — without
+    # this the BC column confounds representation quality with feature norm.
+    # Deliberately ONE scalar, not per-dim whitening: per-dim sd amplifies
+    # dims that are near-constant on the train videos but vary on held-out
+    # videos (sd -> eps floor, z -> 1e6; observed as a 2.5e6 val MSE on the
+    # random baseline). (linear_probe ridge-standardizes internally, where
+    # the per-dim form is safe because the penalty bounds the weights.)
+    mu = emb[~val_mask].mean(0)
+    s = float(emb[~val_mask].std()) + 1e-8
+    z = (emb - mu) / s
+
+    # BC probe trained on train videos; evaluated on HELD-OUT videos
+    # (frame-level splits leak: adjacent frames are near-duplicates)
     res = bc_probe(
         embed_fn=lambda x: x,  # embeddings precomputed above
-        images=emb[~val_mask],
+        images=z[~val_mask],
         actions=probe["actions"][~val_mask],
         steps=400,
         val_frac=0.1,
         seed=seed,
     )
     pred = np.asarray(
-        res["policy_apply"](res["policy_params"], jnp.asarray(emb[val_mask]))
+        res["policy_apply"](res["policy_params"], jnp.asarray(z[val_mask]))
     )
     bc_mse = float(np.mean((pred - probe["actions"][val_mask]) ** 2))
     # direction accuracy: does the policy at least point the right way?
     dots = np.sum(pred * probe["actions"][val_mask], axis=-1)
     bc_dir_acc = float(np.mean(dots > 0))
 
-    out = {
-        "encoder": name,
+    return {
         "bc_val_mse": bc_mse,
         "bc_dir_acc": bc_dir_acc,
         "block_pos_r2": linear_probe(
@@ -168,6 +207,37 @@ def _probe_encoder(name: str, enc, probe, seed: int = 0) -> dict:
             emb, probe["progress"], groups=video, seed=seed
         )["r2_mean"],
     }
+
+
+METRICS = (
+    "bc_val_mse", "bc_dir_acc", "block_pos_r2", "goal_pos_r2",
+    "progress_r2",
+)
+
+
+def _probe_encoder(
+    name: str, encs, probe, split_seeds=(0, 1, 2)
+) -> dict:
+    """Score one encoder variant (or a LIST of same-role encoders, e.g.
+    several random inits) over several video-holdout splits; report
+    mean ± std over every (encoder, split) sample so single-seed luck —
+    the round-4 run's failure mode — cannot masquerade as signal."""
+    if not isinstance(encs, (list, tuple)):
+        encs = [encs]
+    samples: list = []
+    order_accs = []
+    for enc in encs:
+        emb = _embed(enc, probe["images"])
+        order_accs.append(_reward_order_acc(emb, probe["video"]))
+        for s in split_seeds:
+            samples.append(_metrics_for_split(emb, probe, s))
+    out = {"encoder": name, "n_samples": len(samples)}
+    for m in METRICS:
+        vals = np.asarray([r[m] for r in samples])
+        out[m] = float(vals.mean())
+        out[m + "_std"] = float(vals.std())
+    out["reward_order_acc"] = float(np.mean(order_accs))
+    out["reward_order_acc_std"] = float(np.std(order_accs))
     print("[probe]", json.dumps(out))
     return out
 
@@ -181,7 +251,7 @@ def main() -> int:
     p.add_argument("--videos", type=int, default=64)
     p.add_argument("--frames", type=int, default=40)
     p.add_argument("--workers", type=int, default=4)
-    p.add_argument("--probe-videos", type=int, default=24)
+    p.add_argument("--probe-videos", type=int, default=48)
     p.add_argument("--probe-frames", type=int, default=30)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--skip-train", action="store_true")
@@ -203,24 +273,37 @@ def main() -> int:
     if not args.skip_train:
         _train(run, args)
 
-    print("[probe] rendering held-out probe set")
-    probe = render_probe_set(
-        n_videos=args.probe_videos, n_frames=args.probe_frames,
-        size=args.image_size,
-        seed=10_000,  # disjoint from the training split's seed
+    cache = os.path.join(
+        run,
+        f"probe_set_{args.probe_videos}x{args.probe_frames}"
+        f"_{args.image_size}.npz",
     )
+    if os.path.exists(cache):
+        print(f"[probe] loading cached probe set {cache}")
+        probe = dict(np.load(cache))
+    else:
+        print("[probe] rendering held-out probe set")
+        probe = render_probe_set(
+            n_videos=args.probe_videos, n_frames=args.probe_frames,
+            size=args.image_size,
+            seed=10_000,  # disjoint from the training split's seed
+        )
+        np.savez(cache, **probe)  # rendering 224px sets takes minutes
 
     trained = load_r3m_from_snapshot(os.path.join(run, "snapshot.npz"))
     step0 = load_r3m_from_snapshot(os.path.join(run, "init_snapshot.npz"))
-    rnd = R3MEncoder(
-        trained.cfg,
-        *(lambda s: (s["params"], s["batch_stats"]))(
-            r3m_init(jax.random.PRNGKey(4242), trained.cfg)
-        ),
-    )
+    rnds = [
+        R3MEncoder(
+            trained.cfg,
+            *(lambda s: (s["params"], s["batch_stats"]))(
+                r3m_init(jax.random.PRNGKey(k), trained.cfg)
+            ),
+        )
+        for k in (4242, 4243, 4244)
+    ]
 
     rows = [
-        _probe_encoder("random_init", rnd, probe),
+        _probe_encoder("random_init(x3)", rnds, probe),
         _probe_encoder("step0_snapshot", step0, probe),
         _probe_encoder("trained", trained, probe),
     ]
@@ -235,24 +318,41 @@ def main() -> int:
         json.dump(result, f, indent=2)
     print(f"[probe] wrote {out_path}")
 
-    # markdown table for BASELINE.md
-    print("\n| encoder | BC val MSE (held-out videos) | BC dir acc | "
+    # markdown table for BASELINE.md (mean ± std over (init, split) samples)
+    def cell(r, m, prec=3):
+        return f"{r[m]:.{prec}f}±{r[m + '_std']:.{prec}f}"
+
+    print("\n| encoder | reward-order acc (zero-shot) | "
+          "BC val MSE (held-out videos) | BC dir acc | "
           "block-pos R2 | goal-pos R2 | progress R2 |")
-    print("|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(
-            f"| {r['encoder']} | {r['bc_val_mse']:.4f} | "
-            f"{r['bc_dir_acc']:.3f} | {r['block_pos_r2']:.3f} | "
-            f"{r['goal_pos_r2']:.3f} | {r['progress_r2']:.3f} |"
+            f"| {r['encoder']} | {cell(r, 'reward_order_acc')} | "
+            f"{cell(r, 'bc_val_mse', 4)} | {cell(r, 'bc_dir_acc')} | "
+            f"{cell(r, 'block_pos_r2')} | {cell(r, 'goal_pos_r2')} | "
+            f"{cell(r, 'progress_r2')} |"
         )
 
-    tr = rows[2]
-    base = min(rows[0]["bc_val_mse"], rows[1]["bc_val_mse"])
+    tr, rnd = rows[2], rows[0]
+    print(
+        json.dumps(
+            {
+                "metric": "probe_delta_reward_order_acc_trained_minus_random",
+                "value": round(
+                    tr["reward_order_acc"] - rnd["reward_order_acc"], 4
+                ),
+                "unit": "accuracy delta (>0 = trained better)",
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "probe_delta_bc_mse_ratio_trained_vs_random",
-                "value": round(tr["bc_val_mse"] / max(base, 1e-9), 4),
+                "value": round(
+                    tr["bc_val_mse"] / max(rnd["bc_val_mse"], 1e-9), 4
+                ),
                 "unit": "ratio (<1 = trained better)",
             }
         )
