@@ -190,6 +190,26 @@ def render_probe_set(
     }
 
 
+def reward_order_acc(emb: np.ndarray, video: np.ndarray) -> float:
+    """Zero-shot temporal-ordering accuracy: sim(e_t, e_goal) monotone in t?
+
+    The model's downstream reward semantics (−L2 `sim`,
+    models_r3m.py:102-107 / r3m_tpu.models.r3m.sim with l2dist=true):
+    within each video, the fraction of ordered frame pairs (t1 < t2, both
+    < T−1) whose −L2 similarity to the FINAL frame is correctly ordered,
+    averaged over videos. No probe head is fitted — zero fitting variance;
+    the purest "did TCN training shape the metric space" signal, and the
+    in-space analogue of using `get_reward` as an RL reward (paper §4.3).
+    """
+    accs = []
+    for v in np.unique(video):
+        e = np.asarray(emb[video == v], np.float64)
+        d = -np.linalg.norm(e[:-1] - e[-1], axis=1)  # sim(e_t, e_T)
+        ii, jj = np.triu_indices(d.shape[0], k=1)
+        accs.append(np.mean(d[jj] > d[ii]))
+    return float(np.mean(accs))
+
+
 def linear_probe(
     emb: np.ndarray,
     target: np.ndarray,

@@ -127,28 +127,6 @@ def _embed(enc, images: np.ndarray, chunk: int = 120) -> np.ndarray:
     return np.concatenate(outs)
 
 
-def _reward_order_acc(emb: np.ndarray, video: np.ndarray) -> float:
-    """Zero-shot temporal-ordering accuracy: sim(e_t, e_goal) monotone in t?
-
-    This is the model's actual downstream reward semantics (−L2 `sim`,
-    models_r3m.py:102-107 / r3m_tpu.models.r3m.sim with l2dist=true — the
-    trained config): within a held-out video, does similarity to the final
-    (goal) frame increase with time?  Reported as the fraction of ordered
-    frame pairs (t1 < t2, both < T−1) whose goal-similarity is correctly
-    ordered.  No probe head is fitted, so the number has zero fitting
-    variance — it is the purest "did TCN training shape the metric space"
-    signal, and the in-space analogue of using `get_reward` as an RL
-    reward (paper §4.3).
-    """
-    accs = []
-    for v in np.unique(video):
-        e = np.asarray(emb[video == v], np.float64)
-        d = -np.linalg.norm(e[:-1] - e[-1], axis=1)  # sim(e_t, e_T)
-        ii, jj = np.triu_indices(d.shape[0], k=1)
-        accs.append(np.mean(d[jj] > d[ii]))
-    return float(np.mean(accs))
-
-
 def _metrics_for_split(emb: np.ndarray, probe: dict, seed: int) -> dict:
     """One video-held-out split: standardized BC probe + linear probes."""
     import jax.numpy as jnp
@@ -222,13 +200,15 @@ def _probe_encoder(
     several random inits) over several video-holdout splits; report
     mean ± std over every (encoder, split) sample so single-seed luck —
     the round-4 run's failure mode — cannot masquerade as signal."""
+    from r3m_tpu.evalsuite.fixtures import reward_order_acc
+
     if not isinstance(encs, (list, tuple)):
         encs = [encs]
     samples: list = []
     order_accs = []
     for enc in encs:
         emb = _embed(enc, probe["images"])
-        order_accs.append(_reward_order_acc(emb, probe["video"]))
+        order_accs.append(reward_order_acc(emb, probe["video"]))
         for s in split_seeds:
             samples.append(_metrics_for_split(emb, probe, s))
     out = {"encoder": name, "n_samples": len(samples)}
