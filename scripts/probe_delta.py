@@ -88,7 +88,7 @@ def _train(run: str, args) -> None:
             "agent.langweight=1.0",
             "agent.l1weight=1e-5",
             "lr=1e-4",
-            "doaug=rctraj",
+            f"doaug={args.doaug}",
             f"bert_weights={os.path.join(run, 'bert.npz')}",
             f"vocab_path={os.path.join(run, 'data', 'vocab.txt')}",
         ]
@@ -234,6 +234,12 @@ def main() -> int:
     p.add_argument("--probe-videos", type=int, default=48)
     p.add_argument("--probe-frames", type=int, default=30)
     p.add_argument("--image-size", type=int, default=224)
+    p.add_argument(
+        "--doaug", default="rctraj",
+        help="augmentation mode (README default rctraj; 'none' is the "
+        "crop-invariance ablation: absolute-position probes should recover "
+        "when the objective stops training invariance to spatial crops)",
+    )
     p.add_argument("--skip-train", action="store_true")
     args = p.parse_args()
 
