@@ -276,8 +276,18 @@ def main() -> int:
         )
         np.savez(cache, **probe)  # rendering 224px sets takes minutes
 
-    trained = load_r3m_from_snapshot(os.path.join(run, "snapshot.npz"))
+    snap_path = os.path.join(run, "snapshot.npz")
+    trained = load_r3m_from_snapshot(snap_path)
     step0 = load_r3m_from_snapshot(os.path.join(run, "init_snapshot.npz"))
+    # the rolling snapshot is the LAST EVAL-EVENT snapshot, which for
+    # eval_freq = steps//4 lands at ~3/4 of the run (training stops before
+    # the next event) — record the step actually scored, not the nominal
+    # --steps, so the artifact is honest about what "trained" means
+    # (npz members load lazily, so this reads only the meta blob)
+    with np.load(snap_path) as z:
+        scored_step = int(
+            json.loads(bytes(z["__meta__"]).decode()).get("global_step", -1)
+        )
     rnds = [
         R3MEncoder(
             trained.cfg,
@@ -295,6 +305,8 @@ def main() -> int:
     ]
     result = {
         "steps": args.steps,
+        "scored_snapshot_step": scored_step,
+        "doaug": args.doaug,
         "size": args.size,
         "probe_frames": int(probe["images"].shape[0]),
         "rows": rows,
