@@ -78,6 +78,7 @@ class Ego4DDataset:
             manifest = manifest.iloc[shard_index::num_shards].reset_index(drop=True)
         self.manifest = manifest
         self.alpha = alpha
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         self._paths = manifest["path"].to_numpy()
         self._lens = manifest["len"].to_numpy()
@@ -85,6 +86,26 @@ class Ego4DDataset:
 
     def __len__(self) -> int:
         return len(self.manifest)
+
+    def stream_fingerprint(self) -> str:
+        """Identity of the draw sequence this dataset's RNG produces.
+
+        `skip_batches` replays draws whose BOUNDS come from the manifest's
+        lens (and alpha, and the seeded RNG) — fast-forwarding against a
+        different manifest consumes a different bitstream, so the resumed
+        stream matches neither the interrupted run nor a fresh one while
+        claiming bit-reproducibility (review finding). The workspace
+        stores this in snapshot metadata and only transfers stream
+        counters when it matches.
+        """
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(f"alpha={self.alpha};seed={self._seed};".encode())
+        h.update(";".join(map(str, self._paths)).encode())
+        h.update(b"|")
+        h.update(";".join(map(str, self._lens)).encode())
+        return h.hexdigest()[:16]
 
     def sample_indices(self, vidlen: int) -> Tuple[int, int, int, int, int]:
         """The exact index law of data_loaders.py:75-79 (1-based frames)."""

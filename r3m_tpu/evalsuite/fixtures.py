@@ -206,7 +206,17 @@ def reward_order_acc(emb: np.ndarray, video: np.ndarray) -> float:
         e = np.asarray(emb[video == v], np.float64)
         d = -np.linalg.norm(e[:-1] - e[-1], axis=1)  # sim(e_t, e_T)
         ii, jj = np.triu_indices(d.shape[0], k=1)
-        accs.append(np.mean(d[jj] > d[ii]))
+        if ii.size == 0:
+            continue  # <3 frames: no ordered pair; NaN must not propagate
+        # ties score 0.5 (chance): a collapsed constant embedding carries
+        # no order signal and must read ~0.5, not 0.0 "anti-ordered"
+        accs.append(
+            float(np.mean((d[jj] > d[ii]) + 0.5 * (d[jj] == d[ii])))
+        )
+    if not accs:
+        raise ValueError(
+            "reward_order_acc needs at least one video with >= 3 frames"
+        )
     return float(np.mean(accs))
 
 

@@ -222,14 +222,37 @@ def r3m_embed(
             resize_to=cfg.resize_to,
         )
     if cfg.size == 0:
+        import math
+
         from r3m_tpu.models.vit import vit_b32_apply
 
+        fused = cfg.resolved_fused_attn(train)
+        if fused and shard_mesh is not None:
+            # shard_map requires the batch divisible by the total device
+            # count (the kernel spec shards over ALL mesh axes). The einsum
+            # path has no such constraint — GSPMD handles uneven shards —
+            # so "auto" degrades to it instead of failing at trace time;
+            # an EXPLICIT kernel request gets a clear error, not a silent
+            # betrayal of the setting.
+            n_dev = math.prod(shard_mesh.shape.values())
+            if x.shape[0] % n_dev:
+                if cfg.vit_fused_attn == "auto":
+                    fused = False
+                else:
+                    raise ValueError(
+                        f"vit_fused_attn={cfg.vit_fused_attn!r}: the fused "
+                        f"attention kernel runs under jax.shard_map, which "
+                        f"needs the flat frame batch ({x.shape[0]}) "
+                        f"divisible by the mesh's {n_dev} devices; pick a "
+                        "divisible batch size or set vit_fused_attn='auto' "
+                        "to fall back to the einsum path"
+                    )
         feats = vit_b32_apply(
             params["convnet"], x, precision=precision,
             compute_dtype=cfg.jnp_compute_dtype,
-            fused_attn=cfg.resolved_fused_attn(train),
+            fused_attn=fused,
             fused_attn_interpret=fused_attn_interpret,
-            shard_mesh=shard_mesh,
+            shard_mesh=shard_mesh if fused else None,
         )
         return feats, batch_stats
     feats, new_stats = resnet_apply(

@@ -241,10 +241,19 @@ class Workspace:
         self._train_stream_pos0 = 0  # batches already drawn from train_ds's RNG
         self._val_batches = 0  # val-stream position (batches drawn)
         ds_meta = (resume_meta or {}).get("data_stream") or {}
+        # stream identity, not just shape: counters taken against a
+        # different manifest/alpha/seed would fast-forward through the
+        # WRONG draw bounds (e.g. a grown corpus, or a load_snap warm-start
+        # from another run) while claiming bit-reproducibility
+        self._stream_fp = {
+            "train": train_ds.stream_fingerprint(),
+            "val": val_ds.stream_fingerprint(),
+        }
         if loaded_step > 0 and bool(cfg.get("resume_data_stream", True)):
             if (
                 ds_meta.get("local_batch_size") == local_bs
                 and ds_meta.get("num_hosts") == n_proc
+                and ds_meta.get("stream_fp") == self._stream_fp
             ):
                 t_n = int(ds_meta.get("train_batches", 0))
                 v_n = int(ds_meta.get("val_batches", 0))
@@ -257,11 +266,19 @@ class Workspace:
                     f"val {v_n} batches (bit-reproducible continuation)"
                 )
             elif ds_meta:
-                print(
-                    "[resume] snapshot data-stream counters were taken at "
-                    f"{ds_meta.get('num_hosts')} hosts x local batch "
+                why = (
+                    "a different dataset/alpha/seed"
+                    if ds_meta.get("stream_fp") not in (None, self._stream_fp)
+                    else f"{ds_meta.get('num_hosts')} hosts x local batch "
                     f"{ds_meta.get('local_batch_size')} (this run: {n_proc} x "
-                    f"{local_bs}) — stream restarts from seed"
+                    f"{local_bs})"
+                    if "stream_fp" in ds_meta
+                    else "a pre-fingerprint snapshot (stream identity "
+                    "unverifiable)"
+                )
+                print(
+                    "[resume] snapshot data-stream counters were taken "
+                    f"against {why} — stream restarts from seed"
                 )
             else:
                 print(
@@ -512,6 +529,7 @@ class Workspace:
                 "val_batches": self._val_batches,
                 "local_batch_size": self._local_bs,
                 "num_hosts": self._n_proc,
+                "stream_fp": self._stream_fp,
             },
         }
         if self._snap_writer is None:

@@ -11,7 +11,12 @@
 PY="${PYTHON:-/opt/venv/bin/python} -u"
 LOG="${1:-/tmp/bench_battery.log}"
 cd "$(dirname "$0")/.."
-exec > >(tee -a "$LOG") 2>&1
+# The named log APPENDS across battery runs (history); the gate below must
+# see only THIS run's records — a healthy number from yesterday's appended
+# run would otherwise mask today's regression (perf_gate keeps the best
+# reading per metric; review finding). RUNLOG is fresh per invocation.
+RUNLOG=$(mktemp /tmp/bench_battery_run.XXXXXX.log)
+exec > >(tee -a "$LOG" "$RUNLOG") 2>&1
 
 echo "=== battery start $(date) ==="
 n=0
@@ -78,7 +83,10 @@ echo "=== stage 7: perf-regression gate $(date) ==="
 # constants in scripts/perf_baseline.json (12% tolerance over the recorded
 # +-7% run variance). A red gate means the battery MEASURED a regression —
 # accepting a slower baseline must be an explicit diff to that file.
-if ! $PY scripts/perf_gate.py "$LOG"; then
+# Gate THIS run only (RUNLOG, not the appended history), and require every
+# baseline metric to be present — a crashed ViT stage must not let the
+# rest of the battery pass on its behalf.
+if ! $PY scripts/perf_gate.py --expect-all "$RUNLOG"; then
   echo "FATAL: perf-regression gate failed (see [perf-gate] lines above)"
   exit 1
 fi

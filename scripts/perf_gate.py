@@ -15,7 +15,10 @@ Rules:
     runs are tagged ``vit_fused`` != "auto" and must not trip the gate);
   * when a gated metric appears several times, the BEST reading counts
     (sweeps include deliberately slower configurations);
-  * zero gated metrics found => exit 2 (an empty log must not pass).
+  * zero gated metrics found => exit 2 (an empty log must not pass);
+  * with ``--expect-all``, EVERY baseline metric must appear => exit 2
+    otherwise (the battery's mode: a crashed ViT stage must not let the
+    remaining metrics pass the gate on its behalf — review finding).
 
 Exit codes: 0 ok, 1 regression, 2 no gated metrics found.
 
@@ -23,7 +26,7 @@ Exit codes: 0 ok, 1 regression, 2 no gated metrics found.
 the documented injection knob for testing that the gate actually fails
 (tests/test_perf_gate.py; VERDICT round-4 item 3 "test via an env knob").
 
-Usage:  perf_gate.py [logfile ...]      (no args or '-': read stdin)
+Usage:  perf_gate.py [--expect-all] [logfile ...]   (no args/'-': stdin)
 """
 
 from __future__ import annotations
@@ -76,7 +79,9 @@ def main(argv):
     with open(BASELINE_PATH) as f:
         baseline = json.load(f)
     scale = float(os.environ.get("PERF_GATE_SCALE", "1.0"))
-    paths = [a for a in argv[1:] if a != "-"]
+    args = argv[1:]
+    expect_all = "--expect-all" in args
+    paths = [a for a in args if a not in ("-", "--expect-all")]
     lines = []
     if paths:
         for p in paths:
@@ -91,6 +96,14 @@ def main(argv):
         print(
             "[perf-gate] FAIL: no gated metrics found in the input — a "
             "log with nothing to check must not pass"
+        )
+        return 2
+    missing = sorted(set(baseline["metrics"]) - set(checked))
+    if expect_all and missing:
+        print(
+            "[perf-gate] FAIL: gated metric(s) missing from the input "
+            f"(--expect-all): {', '.join(missing)} — a crashed bench stage "
+            "must not pass the gate by omission"
         )
         return 2
     for name in checked:

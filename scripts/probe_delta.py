@@ -117,14 +117,9 @@ def _train(run: str, args) -> None:
 
 
 def _embed(enc, images: np.ndarray, chunk: int = 120) -> np.ndarray:
-    from r3m_tpu.utils.misc import pad_batch
+    from r3m_tpu.evalsuite.bc import _embed_chunked
 
-    outs = []
-    for i in range(0, images.shape[0], chunk):
-        x = images[i : i + chunk]
-        m = x.shape[0]
-        outs.append(np.asarray(enc(pad_batch(x, chunk)))[:m])
-    return np.concatenate(outs)
+    return _embed_chunked(enc, images, chunk)
 
 
 def _metrics_for_split(emb: np.ndarray, probe: dict, seed: int) -> dict:
@@ -169,8 +164,15 @@ def _metrics_for_split(emb: np.ndarray, probe: dict, seed: int) -> dict:
     )
     bc_mse = float(np.mean((pred - probe["actions"][val_mask]) ** 2))
     # direction accuracy: does the policy at least point the right way?
-    dots = np.sum(pred * probe["actions"][val_mask], axis=-1)
-    bc_dir_acc = float(np.mean(dots > 0))
+    # Goal frames carry the exact zero action (render_probe_set's
+    # norm<=1e-6 branch): dot = 0 for ANY prediction, so they have no
+    # direction to score — mask them out of the denominator instead of
+    # counting them as misses for every encoder (review finding: they
+    # uniformly deflated the recorded round-5 accuracies by ~1/n_frames).
+    acts = probe["actions"][val_mask]
+    has_dir = np.linalg.norm(acts, axis=-1) > 1e-6
+    dots = np.sum(pred * acts, axis=-1)
+    bc_dir_acc = float(np.mean(dots[has_dir] > 0))
 
     return {
         "bc_val_mse": bc_mse,

@@ -10,13 +10,14 @@ import sys
 GATE = os.path.join(os.path.dirname(__file__), "..", "scripts", "perf_gate.py")
 
 
-def _run(log_text: str, scale=None):
+def _run(log_text: str, scale=None, expect_all=False):
     env = dict(os.environ)
     env.pop("PERF_GATE_SCALE", None)
     if scale is not None:
         env["PERF_GATE_SCALE"] = str(scale)
+    args = [sys.executable, GATE] + (["--expect-all"] if expect_all else [])
     return subprocess.run(
-        [sys.executable, GATE, "-"],
+        args + ["-"],
         input=log_text,
         capture_output=True,
         text=True,
@@ -83,11 +84,33 @@ def test_deliberate_comparison_runs_do_not_trip_gate():
     assert r.returncode == 1, r.stdout
 
 
+def test_partial_log_fails_under_expect_all():
+    """A battery whose ViT stages all crashed leaves only the resnet
+    headline in the log; --expect-all must refuse to pass on the subset
+    (review finding: the battery has no set -e, so a stage can die without
+    aborting the run)."""
+    log = _line(HEADLINE, 2350.0)
+    assert _run(log).returncode == 0  # ad-hoc single-metric use still ok
+    r = _run(log, expect_all=True)
+    assert r.returncode == 2, r.stdout
+    assert VIT in r.stdout
+    # a complete log passes with the flag
+    full = "\n".join([
+        _line(HEADLINE, 2350.0),
+        _line(VIT, 3640.0, vit_fused="auto"),
+    ])
+    assert _run(full, expect_all=True).returncode == 0
+
+
 def test_battery_wires_the_gate():
-    """bench_battery.sh must end by running the gate on its own log."""
+    """bench_battery.sh must end by gating its OWN run's records: a fresh
+    per-run log (the named log appends across runs, and best-of-metric
+    would let yesterday's healthy number mask today's regression) and
+    --expect-all (a crashed stage must not pass by omission)."""
     battery = os.path.join(
         os.path.dirname(__file__), "..", "scripts", "bench_battery.sh"
     )
     with open(battery) as f:
         text = f.read()
-    assert "perf_gate.py" in text
+    assert 'perf_gate.py --expect-all "$RUNLOG"' in text
+    assert "mktemp" in text

@@ -157,3 +157,24 @@ class TestRewardOrderAcc:
         emb = np.concatenate([good, bad])
         video = np.repeat([0, 1], 6)
         assert reward_order_acc(emb, video) == pytest.approx(0.5)
+
+    def test_collapsed_embedding_scores_chance_not_zero(self):
+        """A constant (collapsed) embedding carries no order signal: every
+        pair ties, and ties must read 0.5 (chance), not 0.0 'perfectly
+        anti-ordered' (review finding — 0.0 would inflate trained-minus-
+        random deltas for degenerate encoders)."""
+        emb = np.ones((8, 4))
+        video = np.zeros(8, np.int32)
+        assert reward_order_acc(emb, video) == pytest.approx(0.5)
+
+    def test_short_videos_skipped_not_nan(self):
+        """Videos with <3 frames have no ordered pair; they must be
+        skipped, not poison the average with NaN."""
+        t = np.linspace(0, 1, 6)[:, None]
+        good = np.tile(t, (1, 3))
+        emb = np.concatenate([good, np.zeros((2, 3))])
+        video = np.concatenate([np.zeros(6, np.int32), np.ones(2, np.int32)])
+        acc = reward_order_acc(emb, video)
+        assert acc == 1.0  # only the orderable video counts
+        with pytest.raises(ValueError, match="3 frames"):
+            reward_order_acc(np.zeros((2, 3)), np.zeros(2, np.int32))

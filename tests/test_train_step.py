@@ -556,3 +556,43 @@ def test_vit_fused_kernel_survives_mesh(bert_params):
     assert reports["kernel"]["bytes"] == reports["einsum"]["bytes"], (
         reports["kernel"], reports["einsum"],
     )
+
+
+def test_vit_auto_indivisible_batch_falls_back_to_einsum(bert_params):
+    """shard_map needs the flat frame batch divisible by the device count;
+    "auto" must DEGRADE to the einsum path there (which GSPMD partitions
+    fine unevenly), not fail at trace time — a review finding. A
+    non-divisible GLOBAL batch already fails at placement (device_put
+    enforces even sharding), so the real exposure is grad_accum
+    microbatches: bs=8, accum=2 -> 20-frame micro flat batch, 20 % 8 != 0
+    on the 8-device mesh."""
+    import dataclasses
+
+    mesh = make_mesh()
+    cfg = dataclasses.replace(CFG, size=0)  # "auto"
+    state = replicate(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
+    step = make_train_step(
+        cfg, bert_params=bert_params, mesh=mesh, donate=False, grad_accum=2
+    )
+    batch = shard_batch(mesh, _fake_batch(np.random.default_rng(2), bs=8))
+    lowered = step.lower(state, batch)
+    # fell back: no shard_map manual-computation region in the program
+    assert "sdy.manual_computation" not in lowered.as_text()
+    _, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["full_loss"]))
+
+
+def test_vit_explicit_kernel_indivisible_batch_raises(bert_params):
+    """An EXPLICIT vit_fused_attn='batched' on an indivisible micro batch
+    must error clearly instead of silently betraying the setting."""
+    import dataclasses
+
+    mesh = make_mesh()
+    cfg = dataclasses.replace(CFG, size=0, vit_fused_attn="batched")
+    state = replicate(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
+    step = make_train_step(
+        cfg, bert_params=bert_params, mesh=mesh, donate=False, grad_accum=2
+    )
+    batch = shard_batch(mesh, _fake_batch(np.random.default_rng(2), bs=8))
+    with pytest.raises(ValueError, match="divisible"):
+        step.lower(state, batch)

@@ -607,6 +607,46 @@ def test_reproducible_resume_matches_uninterrupted_run(dataset_root, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_resume_stream_restarts_on_dataset_identity_change(
+    dataset_root, tmp_path
+):
+    """Stream counters must NOT transfer when the dataset identity changed
+    (review finding): skip_batches replays draws whose bounds come from
+    the manifest lens/alpha/seed, so fast-forwarding against a different
+    stream would match neither the interrupted nor a fresh run while
+    printing 'bit-reproducible continuation'."""
+    from r3m_tpu.training.workspace import Workspace
+
+    work = tmp_path / "fpwork"
+    work.mkdir()
+    cfg = _base_cfg(dataset_root, tmp_path)
+    cfg["train_steps"] = 2
+    cfg["eval_freq"] = 1
+    ws = Workspace(cfg, work_dir=str(work))
+    try:
+        ws.train()
+    finally:
+        ws.close()
+
+    # same dataset identity -> counters transfer
+    ws2 = Workspace(cfg, work_dir=str(work))
+    try:
+        assert ws2._train_stream_pos0 == 2
+    finally:
+        ws2.close()
+
+    # changed alpha -> different draw bounds -> stream restarts from seed
+    cfg_b = _base_cfg(dataset_root, tmp_path)
+    cfg_b["train_steps"] = 2
+    cfg_b["eval_freq"] = 1
+    cfg_b["alpha"] = 0.4
+    ws3 = Workspace(cfg_b, work_dir=str(work))
+    try:
+        assert ws3._train_stream_pos0 == 0
+    finally:
+        ws3.close()
+
+
 def test_eval_batches_knob(dataset_root, tmp_path):
     """eval_batches=N draws N val batches per eval event and averages the
     metrics (VERDICT r4 item 7); N=1 stays the reference single-batch law."""
