@@ -53,11 +53,48 @@ PROBE_VOCAB = [
 ]
 
 
-def _direction_phrase(delta: np.ndarray) -> str:
-    """8-way compass phrase for the motion vector (y axis points DOWN)."""
+def _dir_index(delta: np.ndarray) -> int:
+    """8-way compass sector of the motion vector (y axis points DOWN)."""
     ang = np.arctan2(delta[1], delta[0])
-    idx = int(np.round(ang / (np.pi / 4))) % 8
-    return _DIRS[idx][1]
+    return int(np.round(ang / (np.pi / 4))) % 8
+
+
+def _direction_phrase(delta: np.ndarray) -> str:
+    return _DIRS[_dir_index(delta)][1]
+
+
+def probe_captions() -> list:
+    """The 8 direction captions exactly as training sees them (the
+    manifest's txt with the leading "C " stripped, data_loaders.py:72)."""
+    return [f"person moves the block to the {name}" for _, name in _DIRS]
+
+
+def caption_contrast_acc(score_fn, e_first, e_last, deltas) -> float:
+    """Zero-shot language-reward discrimination on held-out videos.
+
+    For each video, score the (first-frame, last-frame) embedding pair
+    against ALL 8 direction captions with the model's own trained reward
+    head (`get_reward`, models_r3m.py:78-81 — the quantity the reference
+    deploys as an RL reward, paper §4.3) and ask whether the TRUE caption
+    wins the 8-way argmax. No probe head is fitted; chance is 1/8. This is
+    the direct evidence that the LANGUAGE loss trained a
+    caption-discriminating reward, complementing `reward_order_acc`
+    (which only tests temporal monotonicity).
+
+    `score_fn(e0 [N,D], es [N,D], captions: list[N]) -> [N] scores`;
+    `e_first`/`e_last`: [V, D] per-video first/last frame embeddings;
+    `deltas`: [V, 2] goal - start motion vectors (any scale, y down).
+    """
+    caps = probe_captions()
+    e_first = np.asarray(e_first)
+    e_last = np.asarray(e_last)
+    v, k = e_first.shape[0], len(caps)
+    e0 = np.repeat(e_first, k, axis=0)
+    et = np.repeat(e_last, k, axis=0)
+    sentences = [c for _ in range(v) for c in caps]
+    scores = np.asarray(score_fn(e0, et, sentences)).reshape(v, k)
+    true_idx = np.asarray([_dir_index(np.asarray(d)) for d in deltas])
+    return float(np.mean(np.argmax(scores, axis=1) == true_idx))
 
 
 def _render_frame(

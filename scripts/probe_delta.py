@@ -195,6 +195,87 @@ METRICS = (
 )
 
 
+def _add_caption_contrast(rows, run, snap_path, snap_meta, probe) -> None:
+    """Zero-shot language-reward discrimination (fixtures.
+    caption_contrast_acc): does the TRAINED reward head pick the true
+    direction caption out of all 8 for held-out (first, last) frame
+    pairs? Chance 1/8; evidences the LANGUAGE loss specifically (the
+    reference's get_reward-as-RL-reward deployment, paper §4.3).
+    Skipped (with a note) when the run has no language head."""
+    import jax
+
+    from r3m_tpu.evalsuite.fixtures import caption_contrast_acc
+
+    try:
+        from r3m_tpu.checkpoint import r3m_config_from_meta
+        from r3m_tpu.models.r3m import r3m_init
+        from r3m_tpu.reward import R3MRewardModel
+        from r3m_tpu.text.tokenizer import WordPieceTokenizer
+        from r3m_tpu.training.workspace import load_bert_params
+
+        bert = os.path.join(run, "bert.npz")
+        vocab = os.path.join(run, "data", "vocab.txt")
+        video = probe["video"]
+        vids = np.unique(video)
+        first = np.asarray([np.nonzero(video == v)[0][0] for v in vids])
+        last = np.asarray([np.nonzero(video == v)[0][-1] for v in vids])
+        deltas = (
+            probe["latents"][first, 2:4] - probe["latents"][first, :2]
+        )
+        imgs_first, imgs_last = probe["images"][first], probe["images"][last]
+
+        def acc_of(rm) -> float:
+            e0 = np.asarray(rm.embed(imgs_first))
+            et = np.asarray(rm.embed(imgs_last))
+            return caption_contrast_acc(rm.get_reward, e0, et, deltas)
+
+        # fully random models (encoder + reward head + the same frozen
+        # BERT): the chance-level baseline, averaged over 3 seeds
+        full_cfg = r3m_config_from_meta(snap_meta, compute_dtype="float32")
+        bert_params, bert_cfg = load_bert_params(bert)
+        tok = WordPieceTokenizer(vocab_file=vocab)
+        lml = int(snap_meta.get("lang_max_len", 32))
+        rnd_accs = []
+        for k in (4242, 4243, 4244):
+            s = r3m_init(jax.random.PRNGKey(k), full_cfg)
+            rnd_accs.append(
+                acc_of(
+                    R3MRewardModel(
+                        full_cfg, s["params"], s["batch_stats"],
+                        bert_params, tok, lang_max_len=lml,
+                        bert_cfg=bert_cfg,
+                    )
+                )
+            )
+        accs = {
+            "random_init(x3)": (
+                float(np.mean(rnd_accs)), float(np.std(rnd_accs))
+            ),
+            "step0_snapshot": (
+                acc_of(R3MRewardModel.from_snapshot(
+                    os.path.join(run, "init_snapshot.npz"), bert, vocab
+                )),
+                0.0,
+            ),
+            "trained": (
+                acc_of(R3MRewardModel.from_snapshot(snap_path, bert, vocab)),
+                0.0,
+            ),
+        }
+    except (ValueError, FileNotFoundError, KeyError) as e:
+        print(f"[probe] lang caption-contrast skipped: {e}")
+        return
+    for r in rows:
+        if r["encoder"] in accs:
+            m, s = accs[r["encoder"]]
+            r["lang_contrast_acc"] = m
+            r["lang_contrast_acc_std"] = s
+            print(
+                f"[probe] lang_contrast_acc[{r['encoder']}] = "
+                f"{m:.3f}±{s:.3f} (chance 0.125)"
+            )
+
+
 def _probe_encoder(
     name: str, encs, probe, split_seeds=(0, 1, 2)
 ) -> dict:
@@ -287,9 +368,8 @@ def main() -> int:
     # --steps, so the artifact is honest about what "trained" means
     # (npz members load lazily, so this reads only the meta blob)
     with np.load(snap_path) as z:
-        scored_step = int(
-            json.loads(bytes(z["__meta__"]).decode()).get("global_step", -1)
-        )
+        snap_meta = json.loads(bytes(z["__meta__"]).decode())
+    scored_step = int(snap_meta.get("global_step", -1))
     rnds = [
         R3MEncoder(
             trained.cfg,
@@ -305,6 +385,7 @@ def main() -> int:
         _probe_encoder("step0_snapshot", step0, probe),
         _probe_encoder("trained", trained, probe),
     ]
+    _add_caption_contrast(rows, run, snap_path, snap_meta, probe)
     result = {
         "steps": args.steps,
         "scored_snapshot_step": scored_step,
@@ -322,14 +403,17 @@ def main() -> int:
     def cell(r, m, prec=3):
         return f"{r[m]:.{prec}f}±{r[m + '_std']:.{prec}f}"
 
-    print("\n| encoder | reward-order acc (zero-shot) | "
-          "BC val MSE (held-out videos) | BC dir acc | "
+    has_lang = all("lang_contrast_acc" in r for r in rows)
+    lang_hdr = " lang caption contrast (zero-shot, chance 0.125) |" if has_lang else ""
+    print("\n| encoder | reward-order acc (zero-shot) |" + lang_hdr +
+          " BC val MSE (held-out videos) | BC dir acc | "
           "block-pos R2 | goal-pos R2 | progress R2 |")
-    print("|---|---|---|---|---|---|---|")
+    print("|---|---|" + ("---|" if has_lang else "") + "---|---|---|---|---|")
     for r in rows:
+        lang_cell = f" {cell(r, 'lang_contrast_acc')} |" if has_lang else ""
         print(
-            f"| {r['encoder']} | {cell(r, 'reward_order_acc')} | "
-            f"{cell(r, 'bc_val_mse', 4)} | {cell(r, 'bc_dir_acc')} | "
+            f"| {r['encoder']} | {cell(r, 'reward_order_acc')} |" + lang_cell +
+            f" {cell(r, 'bc_val_mse', 4)} | {cell(r, 'bc_dir_acc')} | "
             f"{cell(r, 'block_pos_r2')} | {cell(r, 'goal_pos_r2')} | "
             f"{cell(r, 'progress_r2')} |"
         )
@@ -357,6 +441,16 @@ def main() -> int:
             }
         )
     )
+    if "lang_contrast_acc" in tr:
+        print(
+            json.dumps(
+                {
+                    "metric": "probe_delta_lang_contrast_acc_trained",
+                    "value": round(tr["lang_contrast_acc"], 4),
+                    "unit": "8-way caption accuracy (chance 0.125)",
+                }
+            )
+        )
     return 0
 
 

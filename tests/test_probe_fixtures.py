@@ -167,6 +167,52 @@ class TestRewardOrderAcc:
         video = np.zeros(8, np.int32)
         assert reward_order_acc(emb, video) == pytest.approx(0.5)
 
+    def test_caption_contrast_oracle_scorer(self):
+        """A scorer that recognizes the true caption from the embedding
+        scores 1.0; one keyed to the WRONG caption scores 0.0; chance for
+        an embedding-blind scorer is ~1/8."""
+        from r3m_tpu.evalsuite.fixtures import (
+            _DIRS,
+            _dir_index,
+            caption_contrast_acc,
+            probe_captions,
+        )
+
+        rng = np.random.default_rng(0)
+        v, d = 16, 8
+        deltas = rng.normal(size=(v, 2))
+        # embed the true direction index into feature 0
+        e_first = rng.normal(size=(v, d))
+        e_first[:, 0] = [_dir_index(x) for x in deltas]
+        e_last = np.zeros((v, d))
+        caps = probe_captions()
+
+        def oracle(e0, es, sentences):
+            return np.asarray(
+                [1.0 if caps[int(a[0])] == s else 0.0
+                 for a, s in zip(e0, sentences)]
+            )
+
+        assert caption_contrast_acc(oracle, e_first, e_last, deltas) == 1.0
+
+        def wrong(e0, es, sentences):
+            return np.asarray(
+                [1.0 if caps[(int(a[0]) + 1) % len(caps)] == s else 0.0
+                 for a, s in zip(e0, sentences)]
+            )
+
+        assert caption_contrast_acc(wrong, e_first, e_last, deltas) == 0.0
+
+        def blind(e0, es, sentences):
+            # constant preference for caption 0, independent of embeddings
+            return np.asarray([1.0 if s == caps[0] else 0.0 for s in sentences])
+
+        acc = caption_contrast_acc(blind, e_first, e_last, deltas)
+        # equals the fraction of videos whose true direction is sector 0
+        expect = float(np.mean([_dir_index(x) == 0 for x in deltas]))
+        assert acc == pytest.approx(expect)
+        assert len(_DIRS) == len(caps) == 8
+
     def test_short_videos_skipped_not_nan(self):
         """Videos with <3 frames have no ordered pair; they must be
         skipped, not poison the average with NaN."""
